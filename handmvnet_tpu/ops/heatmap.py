@@ -1,0 +1,115 @@
+"""Heatmap ops: differentiable soft-argmax and on-device Gaussian rendering.
+
+Replicates the reference semantics exactly (numerical parity is a project
+requirement):
+  * soft-argmax: softmax(temperature * flat heatmap) followed by expected
+    x/y coordinates; reference: src/models/utils.py:35-62.
+  * Gaussian rendering: a (6*sigma+1)-wide window stamped at the *integer*
+    joint location, out-of-window pixels exactly zero, fully out-of-bounds
+    joints leave the map zero; reference: src/datasets/utils.py:86-121.
+
+All ops take channel-last layouts ([..., H, W] treated as trailing dims) and
+are shape-static so XLA can fuse them into surrounding kernels.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+
+def soft_argmax_2d(heatmap: jax.Array, temperature: float = 1000.0) -> jax.Array:
+    """Differentiable 2D argmax over heatmaps.
+
+    Args:
+      heatmap: [..., J, H, W] raw (pre-softmax) heatmaps.
+      temperature: softmax sharpening factor (reference default 1000).
+
+    Returns:
+      [..., J, 2] expected (x, y) coordinates in pixel units of the heatmap.
+    """
+    *lead, j, h, w = heatmap.shape
+    flat = heatmap.reshape(*lead, j, h * w)
+    probs = jax.nn.softmax(flat * temperature, axis=-1).reshape(*lead, j, h, w)
+    xs = jnp.arange(w, dtype=probs.dtype)
+    ys = jnp.arange(h, dtype=probs.dtype)
+    expected_x = jnp.einsum("...hw,w->...", probs, xs)
+    expected_y = jnp.einsum("...hw,h->...", probs, ys)
+    return jnp.stack([expected_x, expected_y], axis=-1)
+
+
+def soft_argmax_3d(heatmap3d: jax.Array, temperature: float = 1000.0) -> jax.Array:
+    """Differentiable 3D argmax. heatmap3d: [..., J, D, H, W] -> [..., J, 3] (x, y, z).
+
+    reference: src/models/utils.py:7-32.
+    """
+    *lead, j, d, h, w = heatmap3d.shape
+    flat = heatmap3d.reshape(*lead, j, d * h * w)
+    probs = jax.nn.softmax(flat * temperature, axis=-1).reshape(*lead, j, d, h, w)
+    xs = jnp.arange(w, dtype=probs.dtype)
+    ys = jnp.arange(h, dtype=probs.dtype)
+    zs = jnp.arange(d, dtype=probs.dtype)
+    ex = jnp.einsum("...dhw,w->...", probs, xs)
+    ey = jnp.einsum("...dhw,h->...", probs, ys)
+    ez = jnp.einsum("...dhw,d->...", probs, zs)
+    return jnp.stack([ex, ey, ez], axis=-1)
+
+
+def hard_argmax_2d(heatmap: jax.Array) -> jax.Array:
+    """Integer argmax with the reference's 1-indexed masking convention.
+
+    reference: src/models/utils.py:65-82 (heatmaps_to_coordinates). Returns
+    [..., J, 2] (x, y), zeroed where the max value is <= 0.
+    """
+    *lead, j, h, w = heatmap.shape
+    flat = heatmap.reshape(*lead, j, h * w)
+    maxval = jnp.max(flat, axis=-1)
+    idx = jnp.argmax(flat, axis=-1).astype(jnp.float32) + 1.0
+    x = (idx - 1.0) % w + 1.0
+    y = jnp.floor((idx - 1.0) / w) + 1.0
+    coords = jnp.stack([x, y], axis=-1)
+    mask = (maxval > 0).astype(coords.dtype)[..., None]
+    return coords * mask
+
+
+def render_gaussian_heatmaps(
+    points: jax.Array,
+    height: int,
+    width: int,
+    sigma: float = 2.0,
+    dtype: jnp.dtype = jnp.float32,
+) -> jax.Array:
+    """Render per-point Gaussian heatmaps on device, matching the reference
+    CPU rasterizer bit-for-bit (up to float assoc).
+
+    The reference (src/datasets/utils.py:86-121) casts the point to int32,
+    stamps exp(-((x-x0)^2+(y-y0)^2)/(2 sigma^2)) on the window
+    [x0-3s, x0+3s] x [y0-3s, y0+3s] (s = int sigma), leaves everything
+    outside the window zero, and skips points whose window misses the image.
+
+    Args:
+      points: [..., 2] float (x, y) in pixel units of the target map.
+      height, width: output map size.
+      sigma: gaussian sigma (window half-width = 3*sigma).
+
+    Returns:
+      [..., height, width] heatmaps.
+    """
+    s = int(sigma)
+    pts = points.astype(jnp.int32)  # trunc-toward-zero matches np .astype(int32)
+    x0 = pts[..., 0][..., None, None]
+    y0 = pts[..., 1][..., None, None]
+    xs = jnp.arange(width, dtype=jnp.int32)[None, :]
+    ys = jnp.arange(height, dtype=jnp.int32)[:, None]
+    dx = (xs - x0).astype(dtype)
+    dy = (ys - y0).astype(dtype)
+    g = jnp.exp(-(dx * dx + dy * dy) / (2.0 * sigma * sigma))
+    # window mask: only pixels within the stamped box are nonzero
+    in_window = (jnp.abs(xs - x0) <= 3 * s) & (jnp.abs(ys - y0) <= 3 * s)
+    # reference skips points whose window is entirely off-image
+    ul_x = x0 - 3 * s
+    ul_y = y0 - 3 * s
+    br_x = x0 + 3 * s + 1
+    br_y = y0 + 3 * s + 1
+    visible = (ul_x < width) & (ul_y < height) & (br_x >= 0) & (br_y >= 0)
+    return jnp.where(in_window & visible, g, jnp.zeros((), dtype))
