@@ -1,0 +1,3 @@
+from handmvnet_tpu.models.backbones.resnet import ResNetBackbone  # noqa: F401
+from handmvnet_tpu.models.backbones.hrnet import HRNetBackbone  # noqa: F401
+from handmvnet_tpu.models.backbones.hourglass import StackedHourglass  # noqa: F401

@@ -1,0 +1,137 @@
+"""ResNet backbones (NHWC, flax) with the reference's three variants.
+
+Capability parity with reference src/models/backbones/resnet.py:
+  * standard torchvision topology with ``early_return`` in [0..4] returning a
+    dict of intermediate maps (resnet.py:216-254),
+  * "paper" variant: layer3 stride 1, no layer4 — a single stride-8 map
+    ([B,32,32,1024] from 256^2 input; resnet.py:176-177,238-239),
+  * frozen BatchNorm option (resnet.py:31-74) = BN pinned to eval mode.
+
+Module names mirror torch paths with ``.N`` -> ``_N`` so the checkpoint
+converter can ingest torchvision ImageNet weights directly.
+"""
+
+from __future__ import annotations
+
+from typing import Any, Dict
+
+import jax
+from flax import linen as nn
+
+from handmvnet_tpu.models.layers import batch_norm, conv, max_pool_3x3_s2
+
+
+class BasicBlock(nn.Module):
+    planes: int
+    stride: int = 1
+    has_downsample: bool = False
+    frozen_bn: bool = False
+
+    @nn.compact
+    def __call__(self, x: jax.Array, train: bool = False) -> jax.Array:
+        bn_eval = (not train) or self.frozen_bn
+        out = conv(self.planes, 3, self.stride, name="conv1")(x)
+        out = batch_norm("bn1", x.dtype)(out, use_running_average=bn_eval)
+        out = nn.relu(out)
+        out = conv(self.planes, 3, 1, name="conv2")(out)
+        out = batch_norm("bn2", x.dtype)(out, use_running_average=bn_eval)
+        if self.has_downsample:
+            residual = conv(self.planes, 1, self.stride, padding=0, name="downsample_0")(x)
+            residual = batch_norm("downsample_1", x.dtype)(residual, use_running_average=bn_eval)
+        else:
+            residual = x
+        return nn.relu(out + residual)
+
+
+class Bottleneck(nn.Module):
+    planes: int
+    stride: int = 1
+    has_downsample: bool = False
+    frozen_bn: bool = False
+    expansion: int = 4
+
+    @nn.compact
+    def __call__(self, x: jax.Array, train: bool = False) -> jax.Array:
+        bn_eval = (not train) or self.frozen_bn
+        out = conv(self.planes, 1, 1, padding=0, name="conv1")(x)
+        out = batch_norm("bn1", x.dtype)(out, use_running_average=bn_eval)
+        out = nn.relu(out)
+        out = conv(self.planes, 3, self.stride, name="conv2")(out)
+        out = batch_norm("bn2", x.dtype)(out, use_running_average=bn_eval)
+        out = nn.relu(out)
+        out = conv(self.planes * self.expansion, 1, 1, padding=0, name="conv3")(out)
+        out = batch_norm("bn3", x.dtype)(out, use_running_average=bn_eval)
+        if self.has_downsample:
+            residual = conv(
+                self.planes * self.expansion, 1, self.stride, padding=0, name="downsample_0"
+            )(x)
+            residual = batch_norm("downsample_1", x.dtype)(residual, use_running_average=bn_eval)
+        else:
+            residual = x
+        return nn.relu(out + residual)
+
+
+_LAYOUTS = {
+    "18": ("basic", (2, 2, 2, 2)),
+    "34": ("basic", (3, 4, 6, 3)),
+    "50": ("bottleneck", (3, 4, 6, 3)),
+    "50_paper": ("bottleneck", (3, 4, 6, 3)),
+    "101": ("bottleneck", (3, 4, 23, 3)),
+    "152": ("bottleneck", (3, 8, 36, 3)),
+}
+
+
+class ResNetBackbone(nn.Module):
+    """Input [B, H, W, 3] -> dict of feature maps, or a single map for the
+    "paper" variant (layer3 output)."""
+
+    version: str = "50_paper"
+    early_return: int = 3
+    frozen_bn: bool = False
+
+    @property
+    def variant(self) -> str:
+        return "paper" if "paper" in self.version else "default"
+
+    @nn.compact
+    def __call__(self, x: jax.Array, train: bool = False) -> Any:
+        block_kind, stage_sizes = _LAYOUTS[self.version]
+        block_cls = BasicBlock if block_kind == "basic" else Bottleneck
+        expansion = 1 if block_kind == "basic" else 4
+        bn_eval = (not train) or self.frozen_bn
+
+        h = nn.Conv(64, (7, 7), strides=(2, 2), padding=((3, 3), (3, 3)),
+                    use_bias=False, name="conv1", dtype=x.dtype)(x)
+        h = batch_norm("bn1", x.dtype)(h, use_running_average=bn_eval)
+        h = nn.relu(h)
+        h = max_pool_3x3_s2(h)
+
+        features: Dict[str, jax.Array] = {}
+        inplanes = 64
+        stage_planes = (64, 128, 256, 512)
+        num_stages = 3 if self.variant == "paper" else 4
+        for stage in range(num_stages):
+            planes = stage_planes[stage]
+            stride = 1 if stage == 0 else 2
+            if self.variant == "paper" and stage == 2:
+                stride = 1  # layer3 keeps stride 1 (resnet.py:176-177)
+            for bidx in range(stage_sizes[stage]):
+                s = stride if bidx == 0 else 1
+                needs_ds = bidx == 0 and (s != 1 or inplanes != planes * expansion)
+                h = block_cls(
+                    planes=planes,
+                    stride=s,
+                    has_downsample=needs_ds,
+                    frozen_bn=self.frozen_bn,
+                    name=f"layer{stage + 1}_{bidx}",
+                )(h, train=train)
+                inplanes = planes * expansion
+            features[f"res_layer{stage + 1}"] = h
+            if self.early_return == stage + 1 and self.variant != "paper":
+                return features
+
+        if self.variant == "paper":
+            return h  # single [B, H/8, W/8, 1024] map
+        # early_return == 4: include the pooled vector like the reference
+        features["res_layer4_mean"] = h.mean(axis=(1, 2))
+        return features

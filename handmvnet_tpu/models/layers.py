@@ -1,0 +1,267 @@
+"""Flax building blocks shared by backbones and the model core.
+
+Naming convention: module names replicate the reference's torch module paths
+with ``.N`` sequential indices collapsed to ``_N`` (e.g. torch
+``layer1.0.conv1`` -> flax ``layer1_0 / conv1``). The torch->flax checkpoint
+converter (handmvnet_tpu/checkpoint.py) relies on this being mechanical.
+
+Numerical-parity notes vs torch defaults:
+  * LayerNorm epsilon 1e-5 (flax default is 1e-6)
+  * GELU exact erf form (flax default approximate=True)
+  * BatchNorm epsilon 1e-5, momentum 0.1 torch == 0.9 flax
+  * LeakyReLU negative_slope 0.01
+"""
+
+from __future__ import annotations
+
+import math
+from typing import Sequence
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from flax import linen as nn
+
+# torch BN: momentum 0.1 (reference hrnet.py:17, torch default); flax's
+# momentum is the running-average retention factor = 1 - torch momentum.
+BN_MOMENTUM_FLAX = 0.9
+BN_EPS = 1e-5
+LN_EPS = 1e-5
+
+
+def batch_norm(name: str, dtype=None) -> nn.BatchNorm:
+    """BatchNorm2d with torch semantics; call with
+    use_running_average=not train. A "frozen" BN (reference resnet.py:31-74)
+    is this permanently in eval mode — the affine algebra is identical."""
+    return nn.BatchNorm(
+        use_running_average=None,
+        momentum=BN_MOMENTUM_FLAX,
+        epsilon=BN_EPS,
+        dtype=dtype,
+        name=name,
+    )
+
+
+def conv(features: int, kernel: int, stride: int = 1, padding: int | None = None,
+         use_bias: bool = False, name: str | None = None, dtype=None) -> nn.Conv:
+    """3x3/1x1/... conv with torch-style symmetric int padding (NHWC)."""
+    if padding is None:
+        padding = (kernel - 1) // 2
+    return nn.Conv(
+        features=features,
+        kernel_size=(kernel, kernel),
+        strides=(stride, stride),
+        padding=((padding, padding), (padding, padding)),
+        use_bias=use_bias,
+        name=name,
+        dtype=dtype,
+    )
+
+
+def max_pool_3x3_s2(x: jax.Array) -> jax.Array:
+    """torch MaxPool2d(kernel_size=3, stride=2, padding=1)."""
+    return nn.max_pool(
+        x, window_shape=(3, 3), strides=(2, 2), padding=((1, 1), (1, 1))
+    )
+
+
+class LayerNorm(nn.Module):
+    epsilon: float = LN_EPS
+
+    @nn.compact
+    def __call__(self, x: jax.Array) -> jax.Array:
+        return nn.LayerNorm(epsilon=self.epsilon, dtype=x.dtype, name="ln")(x)
+
+
+def gelu_exact(x: jax.Array) -> jax.Array:
+    return nn.gelu(x, approximate=False)
+
+
+def leaky_relu(x: jax.Array, negative_slope: float = 0.01) -> jax.Array:
+    return nn.leaky_relu(x, negative_slope=negative_slope)
+
+
+def sinusoidal_position_table(d_model: int, max_len: int) -> np.ndarray:
+    """Classic transformer sinusoidal table [1, max_len, d_model].
+
+    reference: src/models/layers.py:134-158 (incl. the odd-d_model branch).
+    """
+    position = np.arange(max_len, dtype=np.float64)[:, None]
+    div_term = np.exp(np.arange(0, d_model, 2, dtype=np.float64) * (-math.log(10000.0) / d_model))
+    pe = np.zeros((1, max_len, d_model), dtype=np.float64)
+    pe[0, :, 0::2] = np.sin(position * div_term)
+    if d_model % 2 == 0:
+        pe[0, :, 1::2] = np.cos(position * div_term)
+    else:
+        pe[0, :, 1::2] = np.cos(position * div_term[:-1])
+    return pe.astype(np.float32)
+
+
+class FeedForward(nn.Module):
+    """LN -> Linear(dim->hidden) -> GELU -> Dropout -> Linear(hidden->dim) -> Dropout.
+
+    reference: src/models/layers.py:161-174; submodule names mirror the torch
+    nn.Sequential indices (net.0 LayerNorm, net.1/net.4 Linear).
+    """
+
+    dim: int
+    hidden_dim: int
+    dropout: float = 0.0
+
+    @nn.compact
+    def __call__(self, x: jax.Array, train: bool = False) -> jax.Array:
+        h = nn.LayerNorm(epsilon=LN_EPS, dtype=x.dtype, name="net_0")(x)
+        h = nn.Dense(self.hidden_dim, name="net_1", dtype=x.dtype)(h)
+        h = gelu_exact(h)
+        h = nn.Dropout(self.dropout, deterministic=not train)(h)
+        h = nn.Dense(self.dim, name="net_4", dtype=x.dtype)(h)
+        h = nn.Dropout(self.dropout, deterministic=not train)(h)
+        return h
+
+
+class MultiHeadAttention(nn.Module):
+    """Post-LN transformer block with optional fixed-split cross attention.
+
+    With custom_query_length=q > 0, the first q tokens attend (as queries)
+    over the remaining tokens (keys/values) — the cross-view fusion trick
+    (reference: src/models/layers.py:177-237). Output length equals q (or the
+    full length when 0).
+
+    The attention itself is two small einsums over <=168 tokens; XLA fuses
+    the QK^T -> softmax -> V chain into MXU work, no flash-style tiling is
+    needed at this sequence length (see SURVEY.md §5.7).
+    """
+
+    d_model: int
+    n_heads: int = 8
+    dim_head: int = 128
+    dropout: float = 0.0
+    custom_query_length: int = 0
+    use_query_tokens_from_start: bool = True
+
+    @nn.compact
+    def __call__(self, x: jax.Array, train: bool = False) -> jax.Array:
+        inner = self.n_heads * self.dim_head
+        cql = self.custom_query_length
+        if cql > 0:
+            if self.use_query_tokens_from_start:
+                xq, xkv = x[:, :cql, :], x[:, cql:, :]
+            else:
+                xq, xkv = x[:, -cql:, :], x[:, :-cql, :]
+        else:
+            xq, xkv = x, x
+
+        q = nn.Dense(inner, use_bias=False, name="to_q", dtype=x.dtype)(xq)
+        k = nn.Dense(inner, use_bias=False, name="to_k", dtype=x.dtype)(xkv)
+        v = nn.Dense(inner, use_bias=False, name="to_v", dtype=x.dtype)(xkv)
+
+        b, nq, _ = q.shape
+        nk = k.shape[1]
+        q = q.reshape(b, nq, self.n_heads, self.dim_head)
+        k = k.reshape(b, nk, self.n_heads, self.dim_head)
+        v = v.reshape(b, nk, self.n_heads, self.dim_head)
+
+        scale = self.dim_head ** -0.5
+        logits = jnp.einsum("bihd,bjhd->bhij", q, k) * scale
+        attn = jax.nn.softmax(logits, axis=-1)
+        out = jnp.einsum("bhij,bjhd->bihd", attn, v).reshape(b, nq, inner)
+
+        out = nn.Dense(self.d_model, name="to_out", dtype=x.dtype)(out)
+        out = nn.Dropout(self.dropout, deterministic=not train)(out)
+        out = nn.LayerNorm(epsilon=LN_EPS, dtype=x.dtype, name="norm1")(out + xq)
+        ff = FeedForward(self.d_model, self.dim_head, self.dropout, name="ff")(out, train=train)
+        return nn.LayerNorm(epsilon=LN_EPS, dtype=x.dtype, name="norm2")(ff + out)
+
+
+class MultiHeadAttentionLearnableQuery(nn.Module):
+    """Pre-PE block with an optional learnable 21-token probe as query.
+
+    reference: src/models/layers.py:240-301. Each block re-adds the
+    sinusoidal PE to its input (and to the probe in cross mode).
+    """
+
+    d_model: int
+    max_tokens: int
+    n_heads: int = 8
+    dim_head: int = 256
+    dropout: float = 0.0
+    cross_attn: bool = True
+    num_query_tokens: int = 21
+
+    @nn.compact
+    def __call__(self, x: jax.Array, train: bool = False) -> jax.Array:
+        inner = self.n_heads * self.dim_head
+        pe = jnp.asarray(sinusoidal_position_table(self.d_model, self.max_tokens))
+        x = x + pe[:, : x.shape[1]].astype(x.dtype)
+
+        if self.cross_attn:
+            probe = self.param(
+                "probe", nn.initializers.normal(1.0),
+                (1, self.num_query_tokens, self.d_model),
+            )
+            probe = jnp.broadcast_to(probe, (x.shape[0],) + probe.shape[1:])
+            probe = probe + pe[:, : probe.shape[1]].astype(x.dtype)
+            xq = probe
+        else:
+            xq = x
+
+        q = nn.Dense(inner, use_bias=False, name="to_q", dtype=x.dtype)(xq)
+        k = nn.Dense(inner, use_bias=False, name="to_k", dtype=x.dtype)(x)
+        v = nn.Dense(inner, use_bias=False, name="to_v", dtype=x.dtype)(x)
+        b, nq = q.shape[:2]
+        nk = k.shape[1]
+        q = q.reshape(b, nq, self.n_heads, self.dim_head)
+        k = k.reshape(b, nk, self.n_heads, self.dim_head)
+        v = v.reshape(b, nk, self.n_heads, self.dim_head)
+        logits = jnp.einsum("bihd,bjhd->bhij", q, k) * (self.dim_head ** -0.5)
+        attn = jax.nn.softmax(logits, axis=-1)
+        out = jnp.einsum("bhij,bjhd->bihd", attn, v).reshape(b, nq, inner)
+        out = nn.Dense(self.d_model, name="to_out_0", dtype=x.dtype)(out)
+        out = nn.Dropout(self.dropout, deterministic=not train)(out)
+
+        ff = FeedForward(self.d_model, self.dim_head, self.dropout, name="ff")
+        if self.cross_attn:
+            return ff(out, train=train) + out
+        out = out + x
+        return ff(out, train=train) + out
+
+
+class ChebConv(nn.Module):
+    """Chebyshev graph convolution with a precomputed polynomial basis.
+
+    The basis (T_0..T_K of the skeleton Laplacian) is static — passed in as a
+    constant so XLA folds it; the layer is then K+1 fused matmuls.
+    reference: src/models/layers.py:363-445 (which recomputes the basis every
+    forward).
+    """
+
+    in_features: int
+    out_features: int
+    order: int = 2  # K; K+1 basis terms
+
+    @nn.compact
+    def __call__(self, x: jax.Array, basis: jax.Array) -> jax.Array:
+        # torch stores weight [K+1, 1, in, out] (xavier_normal over last dims)
+        weight = self.param(
+            "weight",
+            _xavier_normal_torch((self.order + 1, 1, self.in_features, self.out_features)),
+            (self.order + 1, 1, self.in_features, self.out_features),
+        )
+        bias = self.param("bias", nn.initializers.zeros, (1, 1, self.out_features))
+        # [K, N, N] @ [B, N, C] -> [K, B, N, C]; then per-K feature matmul
+        propagated = jnp.einsum("knm,bmc->kbnc", basis.astype(x.dtype), x)
+        out = jnp.einsum("kbnc,kcd->bnd", propagated, weight[:, 0].astype(x.dtype))
+        return out + bias.astype(x.dtype)
+
+
+def _xavier_normal_torch(shape: Sequence[int]):
+    """torch nn.init.xavier_normal_ for a >=2D tensor."""
+    receptive = int(np.prod(shape[2:])) if len(shape) > 2 else 1
+    fan_in = shape[1] * receptive
+    fan_out = shape[0] * receptive
+    std = math.sqrt(2.0 / (fan_in + fan_out))
+
+    def init(key, shape_, dtype=jnp.float32):
+        return jax.random.normal(key, shape_, dtype) * std
+
+    return init
