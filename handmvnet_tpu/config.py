@@ -127,6 +127,12 @@ class Config:
         """Per-dataset PCK-AUC threshold range in meters (reference handmvnet.py:117-125)."""
         return {"dexycb": (0.0, 0.02), "ho3d": (0.0, 0.05), "mvhand": (0.0, 0.02)}[self.data.name]
 
+    @property
+    def root_idx(self) -> int:
+        """Root camera index per dataset (reference ho3d.py:93; DexYCB/MVHand
+        from notebooks/infer_vis.ipynb cell 2)."""
+        return {"ho3d": 0, "dexycb": 2, "mvhand": 3}[self.data.name]
+
     @staticmethod
     def from_yaml(path: str | Path, **overrides: Any) -> "Config":
         raw = yaml.safe_load(Path(path).read_text())

@@ -86,5 +86,32 @@ HAND_EDGE_COLORS = (
 )
 
 
+# Mean flat-hand joint layout in millimeters, wrist at origin (dataset
+# statistic; reference: src/constants.py:148-168).
+MEAN_HAND_POSE = (
+    (0.0, 0.0, 0.0),
+    (-24.0897, -15.5223, 25.8128),
+    (-47.9622, -32.1754, 35.8481),
+    (-73.3033, -40.2934, 40.9490),
+    (-100.3159, -61.5661, 38.1040),
+    (-88.0972, -5.2004, 20.6860),
+    (-119.6257, -14.9273, 21.1797),
+    (-126.9626, -35.7351, 18.7743),
+    (-131.6708, -58.1070, 22.4448),
+    (-94.6604, -1.4790, -3.3575),
+    (-122.0285, -16.2397, -9.7004),
+    (-127.5804, -38.7564, -11.6812),
+    (-127.4778, -64.8121, -10.6014),
+    (-81.7355, -3.9574, -26.6732),
+    (-105.8523, -19.6817, -28.4313),
+    (-110.0102, -44.1092, -27.8379),
+    (-111.2160, -67.2454, -23.0631),
+    (-68.7870, -9.9403, -43.2093),
+    (-82.8804, -24.5682, -48.9638),
+    (-87.7756, -42.8571, -48.2308),
+    (-91.7546, -62.1284, -44.9598),
+)
+
+
 def hand_edges_array() -> np.ndarray:
     return np.asarray(HAND_EDGES, dtype=np.int32)

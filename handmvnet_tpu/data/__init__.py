@@ -1,0 +1,1 @@
+from handmvnet_tpu.data.synthetic import synthetic_batch  # noqa: F401

