@@ -1,0 +1,182 @@
+"""Training/evaluation engine: metric assembly, epoch loops, checkpoint
+management. The TPU-native replacement for the reference's Lightning
+plumbing (train/validate/test steps, checkpoint-on-val_mpjpe, val.json dumps;
+reference: src/models/handmvnet.py:353-516, src/train.py, src/eval.py).
+"""
+
+from __future__ import annotations
+
+import json
+import time
+from pathlib import Path
+from typing import Any, Callable, Dict, Iterable, Mapping
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from handmvnet_tpu import metrics as M
+from handmvnet_tpu.config import Config
+from handmvnet_tpu.ops.geometry import mask_joints
+
+
+def compute_pose_metrics(
+    out: Mapping[str, jax.Array],
+    labels: Mapping[str, jax.Array],
+    cfg: Config,
+    mode: str = "val",
+    vertices_fn: Callable | None = None,
+) -> Dict[str, Any]:
+    """Reference metric assembly (_calculate_mpjpe, handmvnet.py:370-423).
+
+    labels are in meters (caller divides mm by 1000). Returns scalars in mm
+    for the *_mpjpe family plus AUC/PCK aggregates; vertex metrics when a
+    joints->vertices function is provided.
+    """
+    lo, hi = cfg.auc_thresholds
+    pred2d, gt2d = out["joints_crop_img"], labels["joints_crop_img"]
+    if "joints_img_mask" in labels:
+        m = labels["joints_img_mask"]
+        pred2d = mask_joints(pred2d, m)
+        gt2d = mask_joints(gt2d, m)
+
+    pj = out["joints_cam"]
+    gj = labels["joints_cam"]
+    auc = M.pck_auc(pj, gj, lo, hi, steps=20)
+    result: Dict[str, Any] = {
+        f"{mode}_mpjpe2d": float(M.mpjpe(pred2d, gt2d)),
+        f"{mode}_mpjpe": float(M.mpjpe(pj, gj)) * 1000.0,
+        f"{mode}_pa_mpjpe": float(M.pa_mpjpe(pj, gj)) * 1000.0,
+        f"{mode}_auc_j": float(auc.auc),
+        f"{mode}_norm_auc_j": float(auc.norm_auc),
+        f"{mode}_pck_j": np.asarray(auc.pck_values).tolist(),
+    }
+
+    if vertices_fn is not None and "vertices" in labels:
+        pred_verts = vertices_fn(out["joints_cam"] * 1000.0) / 1000.0  # meters
+        gt_verts = labels["vertices"]
+        auc_v = M.pck_auc(pred_verts, gt_verts, lo, hi, steps=20)
+        result.update(
+            {
+                f"{mode}_mpvpe": float(M.mpjpe(pred_verts, gt_verts)) * 1000.0,
+                f"{mode}_pa_mpvpe": float(M.pa_mpjpe(pred_verts, gt_verts)) * 1000.0,
+                f"{mode}_auc_v": float(auc_v.auc),
+                f"{mode}_norm_auc_v": float(auc_v.norm_auc),
+                f"{mode}_pck_v": np.asarray(auc_v.pck_values).tolist(),
+            }
+        )
+
+    if not cfg.train.root_relative and "root_joint" in out:
+        result[f"{mode}_w_mpjpe"] = (
+            float(M.mpjpe(out["joints_cam"] + out["root_joint"], gj + labels["root_joint"]))
+            * 1000.0
+        )
+    return result
+
+
+def labels_in_meters(batch: Mapping[str, np.ndarray]) -> Dict[str, Any]:
+    labels = dict(batch)
+    labels["joints_cam"] = jnp.asarray(batch["joints_cam"]) / 1000.0
+    labels["root_joint"] = jnp.asarray(batch["root_joint"]) / 1000.0
+    if "vertices" in batch:
+        labels["vertices"] = jnp.asarray(batch["vertices"]) / 1000.0
+    return labels
+
+
+class MetricAverager:
+    """Running mean of scalar metrics over an epoch (list-valued entries like
+    PCK curves are averaged elementwise)."""
+
+    def __init__(self) -> None:
+        self._sums: Dict[str, Any] = {}
+        self._count = 0
+
+    def update(self, metrics: Mapping[str, Any]) -> None:
+        self._count += 1
+        for k, v in metrics.items():
+            v = np.asarray(v, dtype=np.float64)
+            self._sums[k] = self._sums.get(k, 0.0) + v
+
+    def result(self) -> Dict[str, Any]:
+        out = {}
+        for k, v in self._sums.items():
+            avg = v / max(self._count, 1)
+            out[k] = avg.tolist() if avg.ndim else float(avg)
+        return out
+
+
+class JsonlLogger:
+    """Append-only metrics log (one JSON object per line) + stdout echo."""
+
+    def __init__(self, path: str | Path, echo: bool = True):
+        self.path = Path(path)
+        self.path.parent.mkdir(parents=True, exist_ok=True)
+        self.echo = echo
+
+    def log(self, record: Mapping[str, Any]) -> None:
+        rec = {k: v for k, v in record.items() if not isinstance(v, (list, tuple))}
+        with open(self.path, "a") as f:
+            f.write(json.dumps(record, default=float) + "\n")
+        if self.echo:
+            print(
+                " ".join(
+                    f"{k}={v:.4f}" if isinstance(v, float) else f"{k}={v}"
+                    for k, v in rec.items()
+                ),
+                flush=True,
+            )
+
+
+class CheckpointManager:
+    """Best-on-val_mpjpe + last checkpointing with the reference's filename
+    convention ``{epoch}-{step}-{val_mpjpe:.3f}`` (reference train.py:34)."""
+
+    def __init__(self, out_dir: str | Path):
+        self.out_dir = Path(out_dir)
+        self.out_dir.mkdir(parents=True, exist_ok=True)
+        self.best_val = float("inf")
+        self.best_path: Path | None = None
+
+    def save(self, state, epoch: int, val_mpjpe: float) -> None:
+        from handmvnet_tpu.checkpoint import save_checkpoint
+
+        last = self.out_dir / "last"
+        save_checkpoint(last, state)
+        if val_mpjpe < self.best_val:
+            self.best_val = val_mpjpe
+            name = f"epoch={epoch}-step={int(state.step)}-val_mpjpe={val_mpjpe:.3f}"
+            path = self.out_dir / name
+            save_checkpoint(path, state)
+            self.best_path = path
+
+    def restore_best(self, template):
+        from handmvnet_tpu.checkpoint import restore_checkpoint
+
+        path = self.best_path or (self.out_dir / "last")
+        return restore_checkpoint(path, template)
+
+
+def evaluate(
+    eval_step: Callable,
+    state,
+    loader: Iterable[Mapping[str, Any]],
+    cfg: Config,
+    mode: str = "val",
+    vertices_fn: Callable | None = None,
+    prepare: Callable | None = None,
+) -> Dict[str, Any]:
+    """Run one evaluation pass and return averaged metrics."""
+    avg = MetricAverager()
+    for batch in loader:
+        if prepare is not None:
+            batch = prepare(batch)
+        out = eval_step(state, batch)
+        labels = labels_in_meters(batch)
+        avg.update(compute_pose_metrics(out, labels, cfg, mode, vertices_fn))
+    return avg.result()
+
+
+def write_results_json(path: str | Path, results: Mapping[str, Any]) -> None:
+    Path(path).parent.mkdir(parents=True, exist_ok=True)
+    with open(path, "w", encoding="utf-8") as f:
+        json.dump([dict(results)], f, indent=2, default=float)

@@ -1,0 +1,186 @@
+"""Training driver: ``python -m handmvnet_tpu.train --config configs/release/HO3D_HandMvNet.yaml``
+
+TPU-native reproduction of the reference trainer (src/train.py): seed 42,
+auto gradient accumulation (2 when batch < 64 and < 3 devices), grad clip 1,
+AdamW + MultiStepLR, checkpoint-on-val_mpjpe min + last, post-fit validation
+of the best checkpoint dumped to val.json, resolved-config dump with git
+hash. Distribution is a shard_map DP step over all local devices instead of
+Lightning DDP.
+"""
+
+from __future__ import annotations
+
+import argparse
+import dataclasses
+import time
+from pathlib import Path
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from handmvnet_tpu.config import Config
+from handmvnet_tpu.data.dexycb import DexYCBDataset
+from handmvnet_tpu.data.ho3d import HO3DDataset
+from handmvnet_tpu.data.loader import BatchLoader
+from handmvnet_tpu.data.mvhand import MVHandDataset
+from handmvnet_tpu.data.pipeline import preprocess_views
+from handmvnet_tpu.engine import (
+    CheckpointManager,
+    JsonlLogger,
+    MetricAverager,
+    compute_pose_metrics,
+    evaluate,
+    labels_in_meters,
+    write_results_json,
+)
+from handmvnet_tpu.models import HandMvNet
+from handmvnet_tpu.parallel import (
+    create_train_state,
+    make_eval_step,
+    make_mesh,
+    make_optimizer,
+    make_train_step,
+)
+from handmvnet_tpu.parallel.mesh import data_sharding
+
+DATASETS = {"ho3d": HO3DDataset, "dexycb": DexYCBDataset, "mvhand": MVHandDataset}
+
+
+def make_device_prepare(cfg: Config, augment: bool, seed: int = 42):
+    """Host batch -> device batch: upload raw frames, run the jitted
+    crop/resize/normalize + heatmap pipeline, drop host-only fields."""
+    counter = {"step": 0}
+
+    def prepare(batch):
+        counter["step"] += 1
+        rng = jax.random.PRNGKey(seed + counter["step"]) if augment else None
+        any_visible = ~np.all(batch["joints_img_mask"], axis=-1)
+        rgb, heatmap = preprocess_views(
+            jnp.asarray(batch["full_rgb"]),
+            jnp.asarray(batch["bboxes"]),
+            jnp.asarray(batch["joints_crop_img"]),
+            jnp.asarray(any_visible),
+            rng,
+            image_size=cfg.data.image_size,
+            heatmap_size=cfg.data.heatmap_size,
+            augment=augment,
+        )
+        out = {
+            k: jnp.asarray(v)
+            for k, v in batch.items()
+            if k not in ("full_rgb", "mv_sample_id", "root_idx", "intrinsic_mat",
+                         "joints_img", "mano_pose", "mano_shape",
+                         "all_joints_cam", "all_root_joints", "cropped_bboxes")
+        }
+        out["rgb"] = rgb
+        out["heatmap"] = heatmap
+        out["bboxes"] = jnp.asarray(batch["bboxes"], jnp.float32)
+        return out
+
+    return prepare
+
+
+def build_dataloaders(cfg: Config, mesh=None):
+    ds_cls = DATASETS[cfg.data.name]
+    num_procs = jax.process_count()
+    proc = jax.process_index()
+    bs = cfg.data.batch_size
+
+    def loader(split: str, augment: bool):
+        ds = ds_cls(cfg.data, split, split_index=proc, split_count=num_procs)
+        steps = max(1, ds.num_samples() // (bs * num_procs))
+        return BatchLoader(
+            ds,
+            batch_size=bs,
+            steps_per_epoch=steps,
+            device_prepare=make_device_prepare(cfg, augment and cfg.data.augment),
+        )
+
+    return loader("train", True), loader("val", False), loader("test", False)
+
+
+def main(argv=None) -> None:
+    parser = argparse.ArgumentParser()
+    parser.add_argument("--config", required=True)
+    parser.add_argument("--num-devices", type=int, default=0)
+    parser.add_argument("--epochs", type=int, default=0, help="override config epochs")
+    parser.add_argument("--steps-per-epoch", type=int, default=0, help="override (smoke runs)")
+    parser.add_argument("--output-dir", default="")
+    args = parser.parse_args(argv)
+
+    cfg = Config.from_yaml(args.config)
+    if args.epochs:
+        cfg = cfg.replace(train=dataclasses.replace(cfg.train, epochs=args.epochs))
+    out_dir = Path(args.output_dir or cfg.base_output_dir)
+    out_dir.mkdir(parents=True, exist_ok=True)
+    cfg.dump(out_dir)
+    logger = JsonlLogger(out_dir / "metrics.jsonl")
+
+    seed = cfg.train.seed
+    rng = jax.random.PRNGKey(seed)
+    np.random.seed(seed)
+
+    mesh = make_mesh(num_devices=args.num_devices or cfg.train.num_devices)
+    n_dev = mesh.devices.size
+    print(f"devices: {[str(d) for d in mesh.devices.flat]}")
+
+    # reference: ACCUMULATE_BATCH = 2 if bs < 64 and < 3 devices (train.py:27-28)
+    accum = cfg.train.accumulate_batch or (2 if cfg.data.batch_size < 64 and n_dev < 3 else 1)
+
+    model = HandMvNet(
+        cfg=cfg.model, image_size=cfg.data.image_size, heatmap_size=cfg.data.heatmap_size
+    )
+
+    train_loader, val_loader, test_loader = build_dataloaders(cfg, mesh)
+    steps_per_epoch = len(train_loader)
+    tx = make_optimizer(cfg, steps_per_epoch=steps_per_epoch)
+    if args.steps_per_epoch:
+        steps_per_epoch = args.steps_per_epoch
+        train_loader.steps_per_epoch = steps_per_epoch
+
+    first = next(iter(BatchLoader(
+        DATASETS[cfg.data.name](cfg.data, "train"), cfg.data.batch_size, 1,
+        device_prepare=make_device_prepare(cfg, False),
+    )))
+    state = create_train_state(model, cfg, rng, first, tx=tx)
+    param_count = sum(np.prod(p.shape) for p in jax.tree.leaves(state.params))
+    print(f"params: {param_count/1e6:.2f}M ({param_count*4/1024/1024:.1f} MB fp32)")
+
+    train_step = make_train_step(model, cfg, tx, mesh, accum_steps=accum)
+    eval_step = make_eval_step(model, cfg, mesh)
+    sharding = data_sharding(mesh)
+    ckpt = CheckpointManager(out_dir / "checkpoints")
+
+    def shard(batch):
+        return {k: jax.device_put(v, sharding) for k, v in batch.items()}
+
+    for epoch in range(cfg.train.epochs):
+        t0 = time.time()
+        avg = MetricAverager()
+        for i, batch in enumerate(train_loader):
+            state, losses = train_step(state, shard(batch), jax.random.fold_in(rng, epoch * 100003 + i))
+            avg.update({k: float(v) for k, v in losses.items()})
+        train_metrics = avg.result()
+
+        val_metrics = evaluate(eval_step, state, val_loader, cfg, mode="val")
+        val_mpjpe = val_metrics.get("val_mpjpe", float("inf"))
+        ckpt.save(state, epoch, val_mpjpe)
+        logger.log(
+            {
+                "epoch": epoch,
+                "time_s": round(time.time() - t0, 1),
+                **{f"train/{k}": v for k, v in train_metrics.items()},
+                **{k: v for k, v in val_metrics.items() if "pck" not in k},
+            }
+        )
+
+    # post-fit: validate best checkpoint -> val.json (reference train.py:93-104)
+    best_state = ckpt.restore_best(state)
+    val = evaluate(eval_step, best_state, val_loader, cfg, mode="val")
+    write_results_json(out_dir / "val.json", val)
+    print("Validation result:", {k: v for k, v in val.items() if "pck" not in k})
+
+
+if __name__ == "__main__":
+    main()
