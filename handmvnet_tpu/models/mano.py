@@ -153,6 +153,45 @@ def synthetic_mano_model(seed: int = 0) -> ManoModel:
     )
 
 
+class ManoDecoder:
+    """Left/right-hand convenience wrapper (reference
+    src/models/mano_decoder.py:4-31): decode(pose, shape, side) -> verts,
+    joints in mm. Loads MANO_{RIGHT,LEFT}.pkl from ``mano_dir`` when present;
+    otherwise the synthetic stand-in (left = mirrored right)."""
+
+    def __init__(self, mano_dir: str | Path | None = None):
+        self.layers: dict[str, ManoLayer] = {}
+        for side in ("right", "left"):
+            model = None
+            if mano_dir is not None:
+                path = Path(mano_dir) / f"MANO_{side.upper()}.pkl"
+                if path.exists():
+                    model = load_mano_model(path)
+            if model is None:
+                model = synthetic_mano_model()
+                if side == "left":
+                    model = ManoModel(
+                        v_template=model.v_template * np.array([-1.0, 1.0, 1.0], np.float32),
+                        shapedirs=model.shapedirs,
+                        posedirs=model.posedirs,
+                        j_regressor=model.j_regressor,
+                        lbs_weights=model.lbs_weights,
+                        faces=model.faces,
+                        hands_mean=model.hands_mean,
+                    )
+            self.layers[side] = ManoLayer(model)
+
+    def decode(self, pose, shape=None, side: str = "right"):
+        """pose: [B, 48] axis-angle or [B, 16, 3, 3] rotmats; shape: [B, 10]."""
+        import jax.numpy as jnp
+
+        layer = self.layers[side]
+        pose = jnp.asarray(pose)
+        if pose.ndim == 2:
+            return layer.from_axis_angle(pose, shape)
+        return layer(pose, shape)
+
+
 class ManoLayer:
     """Batched, jittable MANO forward. All model tensors are baked constants."""
 
@@ -213,6 +252,22 @@ class ManoLayer:
         joints21 = jnp.concatenate([posed_joints, tips], axis=1)
         joints21 = joints21[:, jnp.asarray(constants.MANO_TO_MEDIAPIPE), :]
         return verts * 1000.0, joints21 * 1000.0  # millimeters (manopth convention)
+
+    def from_axis_angle(self, pose: jax.Array, betas: jax.Array | None = None):
+        """Axis-angle pose [B, 48] (3 global + 45 articulation) -> forward.
+
+        The reference's ManoDecoder wrapper feeds manopth in PCA mode with 45
+        components == the full articulation space (reference
+        src/models/mano_decoder.py:4-31); with all components the PCA basis
+        is invertible so axis-angle input is the equivalent capability.
+        """
+        from handmvnet_tpu.models.ik import rodrigues
+
+        b = pose.shape[0]
+        aa = pose.reshape(b, 16, 3)
+        angle = jnp.linalg.norm(aa, axis=-1)
+        rotmats = rodrigues(aa, angle)
+        return self(rotmats, betas)
 
     def joints_template(self) -> np.ndarray:
         """Flat-hand 21-joint template in mm (identity pose, zero shape) —

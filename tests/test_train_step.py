@@ -21,10 +21,19 @@ from handmvnet_tpu.parallel.mesh import data_sharding
 
 
 def tiny_cfg():
+    """2 views at 64^2 (the model keeps its image/8 heatmap contract) to keep
+    CPU compile times test-friendly."""
     import dataclasses
 
     cfg = Config.from_yaml("configs/release/HO3D_HandMvNet.yaml")
-    return cfg.replace(model=dataclasses.replace(cfg.model, selected_views=(0, 1)))
+    cfg = cfg.replace(model=dataclasses.replace(cfg.model, selected_views=(0, 1)))
+    return cfg.replace(
+        data=dataclasses.replace(cfg.data, image_size=64, heatmap_size=8)
+    )
+
+
+def tiny_model(cfg):
+    return HandMvNet(cfg=cfg.model, image_size=64, heatmap_size=8)
 
 
 class TestLRSchedule:
@@ -43,10 +52,10 @@ class TestLRSchedule:
 class TestTrainStep:
     def test_dp_step_runs_and_reduces(self):
         cfg = tiny_cfg()
-        model = HandMvNet(cfg=cfg.model)
+        model = tiny_model(cfg)
         mesh = make_mesh()  # all 8 virtual devices
         n = mesh.devices.size
-        batch = synthetic_batch(batch_size=n, num_views=2, seed=3)
+        batch = synthetic_batch(batch_size=n, num_views=2, image_size=64, heatmap_size=8, seed=3)
         tx = make_optimizer(cfg, steps_per_epoch=10)
         state = create_train_state(model, cfg, jax.random.PRNGKey(0), batch, tx=tx)
         step = make_train_step(model, cfg, tx, mesh, accum_steps=1)
@@ -62,12 +71,15 @@ class TestTrainStep:
         assert np.abs(after - before).sum() > 0
 
     def test_grad_accumulation_matches_big_batch(self):
-        """accum=2 over batch 2N must equal accum=1 over the same batch
-        (both average grads over all samples) up to fp tolerance."""
+        """accum=2 over batch 2N approximates accum=1 over the same batch.
+        NOT exact: BatchNorm in train mode normalizes per microbatch (batch
+        1) vs the full batch (2) — identical to torch's accumulate_grad
+        semantics — so outputs/losses differ by O(batch-stat noise). The
+        tolerances below still catch gross bugs (e.g. unscaled grad sums)."""
         cfg = tiny_cfg()
-        model = HandMvNet(cfg=cfg.model)
+        model = tiny_model(cfg)
         mesh = make_mesh(num_devices=1)
-        batch = synthetic_batch(batch_size=2, num_views=2, seed=4)
+        batch = synthetic_batch(batch_size=2, num_views=2, image_size=64, heatmap_size=8, seed=4)
         tx = make_optimizer(cfg, steps_per_epoch=10)
         state = create_train_state(model, cfg, jax.random.PRNGKey(0), batch, tx=tx)
 
@@ -78,13 +90,13 @@ class TestTrainStep:
         state = create_train_state(model, cfg, jax.random.PRNGKey(0), batch, tx=tx)
         s2, l2 = step2(state, batch, jax.random.PRNGKey(7))
         np.testing.assert_allclose(
-            float(l1["joints_3d_loss"]), float(l2["joints_3d_loss"]), rtol=1e-4
+            float(l1["joints_3d_loss"]), float(l2["joints_3d_loss"]), rtol=0.05
         )
         # BN batch stats differ (per-microbatch vs full batch) so params are
         # close but not identical; compare a BN-free param tensor
         a = s1.params["joints_decoder"]["joints_gcn1"]["weight"]
         b = s2.params["joints_decoder"]["joints_gcn1"]["weight"]
-        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=5e-4)
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=5e-3)
 
     def test_graft_dryrun(self):
         import __graft_entry__ as ge
