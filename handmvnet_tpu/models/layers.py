@@ -138,9 +138,12 @@ class MultiHeadAttention(nn.Module):
     dropout: float = 0.0
     custom_query_length: int = 0
     use_query_tokens_from_start: bool = True
+    use_pallas: bool | None = None  # None = auto (Pallas kernel on TPU)
 
     @nn.compact
     def __call__(self, x: jax.Array, train: bool = False) -> jax.Array:
+        from handmvnet_tpu.ops.pallas.attention import fused_attention
+
         inner = self.n_heads * self.dim_head
         cql = self.custom_query_length
         if cql > 0:
@@ -157,14 +160,13 @@ class MultiHeadAttention(nn.Module):
 
         b, nq, _ = q.shape
         nk = k.shape[1]
-        q = q.reshape(b, nq, self.n_heads, self.dim_head)
-        k = k.reshape(b, nk, self.n_heads, self.dim_head)
-        v = v.reshape(b, nk, self.n_heads, self.dim_head)
+        q = q.reshape(b, nq, self.n_heads, self.dim_head).transpose(0, 2, 1, 3)
+        k = k.reshape(b, nk, self.n_heads, self.dim_head).transpose(0, 2, 1, 3)
+        v = v.reshape(b, nk, self.n_heads, self.dim_head).transpose(0, 2, 1, 3)
 
         scale = self.dim_head ** -0.5
-        logits = jnp.einsum("bihd,bjhd->bhij", q, k) * scale
-        attn = jax.nn.softmax(logits, axis=-1)
-        out = jnp.einsum("bhij,bjhd->bihd", attn, v).reshape(b, nq, inner)
+        out = fused_attention(q, k, v, scale, use_pallas=self.use_pallas)
+        out = out.transpose(0, 2, 1, 3).reshape(b, nq, inner)
 
         out = nn.Dense(self.d_model, name="to_out", dtype=x.dtype)(out)
         out = nn.Dropout(self.dropout, deterministic=not train)(out)
