@@ -119,7 +119,14 @@ class MultiviewTarDataset:
     # hardcoded epoch sizes (reference ho3d.py:275-280)
     split_sizes = {"train": 7718, "train+val": 9087, "val": 1369, "test": 2706}
 
-    def __init__(self, cfg: DataConfig, split: str, split_index: int = 0, split_count: int = 1):
+    def __init__(
+        self,
+        cfg: DataConfig,
+        split: str,
+        split_index: int = 0,
+        split_count: int = 1,
+        use_native: bool | None = None,
+    ):
         assert split in ("train", "val", "test")
         self.cfg = cfg
         self.split = split
@@ -133,6 +140,12 @@ class MultiviewTarDataset:
             split_index=split_index,
             split_count=split_count,
         )
+        if use_native is None:
+            from handmvnet_tpu.data.native_loader import native_available
+
+            use_native = native_available()
+        self.use_native = use_native
+        self._native_urls = urls[split_index::split_count] or urls
 
     def _split_urls(self, split: str) -> list[str]:
         train_urls = brace_expand(os.path.join(self.cfg.dataset_dir, self.train_pattern))
@@ -159,7 +172,48 @@ class MultiviewTarDataset:
         return sample
 
     def __iter__(self) -> Iterator[dict]:
+        if self.use_native:
+            return self._iter_native()
         return iter(self.dataset)
+
+    def _iter_native(self) -> Iterator[dict]:
+        """C++ thread-pool path: tar parse + libjpeg decode in native/tario.cc
+        (bit-identical pixels to the python reader; see tests), with the same
+        reservoir shuffle for training."""
+        from handmvnet_tpu.data.native_loader import NativeShardLoader
+
+        urls = list(self._native_urls)
+        rng = np.random.default_rng(42 + hash(self.split) % 10000)
+        if self.split == "train":
+            rng.shuffle(urls)
+        loader = NativeShardLoader(
+            urls, num_views=self.total_views, image_hw=self.input_res,
+            n_threads=min(6, max(2, len(urls))),
+        )
+        try:
+            buffer: list[dict] = []
+            buf_size = 500 if self.split == "train" else 0
+            for _key, imgs, labels in loader:
+                views = self.cfg.selected_views
+                sample = parse_multiview_labels(
+                    labels, self.root_idx, self.input_res, views
+                )
+                sample["full_rgb"] = imgs[list(views)]
+                sample["mv_sample_id"] = _key
+                if buf_size > 1:
+                    buffer.append(sample)
+                    if len(buffer) >= buf_size:
+                        idx = int(rng.integers(len(buffer)))
+                        buffer[idx], buffer[-1] = buffer[-1], buffer[idx]
+                        yield buffer.pop()
+                else:
+                    yield sample
+            while buffer:
+                idx = int(rng.integers(len(buffer)))
+                buffer[idx], buffer[-1] = buffer[-1], buffer[idx]
+                yield buffer.pop()
+        finally:
+            loader.close()
 
 
 class HO3DDataset(MultiviewTarDataset):
