@@ -32,10 +32,11 @@ LEGACY_REMAPS = (
 )
 
 # flat-name joins for modules whose flax params are flat where torch nests
-# (hourglass Conv/Residual wrappers)
+# (hourglass Residual/Merge wrappers: their Conv sub-wrapper adds a .conv
+# level that flax doesn't have)
 _FLAT_JOINS = (
     (re.compile(r"\.(conv1|conv2|conv3|skip_layer)\.conv\."), r".\1_conv."),
-    (re.compile(r"\.(merge_preds_\d+|merge_features_\d+)\.conv\.conv\."), r".\1_conv.conv."),
+    (re.compile(r"\.conv\.conv\."), r".conv."),
 )
 
 

@@ -256,6 +256,70 @@ class ChebConv(nn.Module):
         return out + bias.astype(x.dtype)
 
 
+class LearnablePositionalEncoding(nn.Module):
+    """Learned additive position table (dormant in release configs;
+    reference layers.py:100-114)."""
+
+    d_model: int
+    max_len: int = 5000
+    dropout: float = 0.0
+
+    @nn.compact
+    def __call__(self, x: jax.Array, train: bool = False) -> jax.Array:
+        pe = self.param("pe", nn.initializers.normal(1.0), (1, self.max_len, self.d_model))
+        x = x + pe[:, : x.shape[1]].astype(x.dtype)
+        return nn.Dropout(self.dropout, deterministic=not train)(x)
+
+
+def frequency_encoding(x: jax.Array, num_frequencies: int = 4) -> jax.Array:
+    """NeRF-style per-scalar sin/cos frequency features (dormant;
+    reference layers.py:117-131). x: [...]-> [..., num_freq_pairs*2] flattened
+    over the last input dim."""
+    freqs = jnp.exp(
+        jnp.arange(0, num_frequencies, 2, dtype=jnp.float32)
+        * (-math.log(10000.0) / num_frequencies)
+    )
+    enc = jnp.concatenate(
+        [jnp.sin(x[..., None] * freqs), jnp.cos(x[..., None] * freqs)], axis=-1
+    )
+    return enc.reshape(*x.shape[:-1], -1)
+
+
+class GraphConv(nn.Module):
+    """Dense-adjacency graph conv with degree-normalized propagation
+    (dormant; reference layers.py:448-473): X' = act(fc(L X)) where
+    L = D^-1/2 A D^-1/2 computed from the (possibly learned) adjacency."""
+
+    out_features: int
+    use_relu: bool = True
+
+    @nn.compact
+    def __call__(self, x: jax.Array, adj: jax.Array) -> jax.Array:
+        d = (jnp.sum(adj, axis=-2) + 1e-5) ** -0.5
+        lap = d[..., :, None] * adj * d[..., None, :]
+        h = jnp.einsum("...nm,bmc->bnc", lap, x)
+        h = nn.Dense(self.out_features, name="fc", dtype=x.dtype)(h)
+        return nn.relu(h) if self.use_relu else h
+
+
+class GraphPool(nn.Module):
+    """Linear node pooling across the node axis (dormant; reference
+    layers.py:337-347)."""
+
+    out_nodes: int
+
+    @nn.compact
+    def __call__(self, x: jax.Array) -> jax.Array:
+        return jnp.swapaxes(
+            nn.Dense(self.out_nodes, name="fc", dtype=x.dtype)(jnp.swapaxes(x, -1, -2)),
+            -1, -2,
+        )
+
+
+class GraphUnpool(GraphPool):
+    """Inverse of GraphPool (reference layers.py:350-360)."""
+
+
 def _xavier_normal_torch(shape: Sequence[int]):
     """torch nn.init.xavier_normal_ for a >=2D tensor."""
     receptive = int(np.prod(shape[2:])) if len(shape) > 2 else 1

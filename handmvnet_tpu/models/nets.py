@@ -67,3 +67,81 @@ class JointsDecoderNN(nn.Module):
         h = nn.Dense(64, name="joints_fc1", dtype=x.dtype)(x)
         h = leaky_relu(h)
         return nn.Dense(self.out_dim, name="joints_fc2", dtype=x.dtype)(h)
+
+
+class PoseNet(nn.Module):
+    """Legacy heatmap-head wrapper: 1x1 conv stack -> heatmaps + soft-argmax
+    coords (dormant, but its torch params are the source of the
+    ``pose_net.conv.*`` legacy checkpoint keys; reference nets.py:13-21 and
+    eval.py:15-52 — the converter's LEGACY_REMAPS handle those)."""
+
+    channels: tuple = (512, 21)
+
+    @nn.compact
+    def __call__(self, feat: jax.Array, train: bool = False):
+        from handmvnet_tpu.ops.heatmap import soft_argmax_2d
+
+        h = feat
+        dims = list(self.channels)
+        for i, c in enumerate(dims[:-1]):
+            h = conv(c, 1, 1, padding=0, use_bias=True, name=f"conv_{3 * i}")(h)
+            h = batch_norm(f"conv_{3 * i + 1}", feat.dtype)(h, use_running_average=not train)
+            h = nn.relu(h)
+        hm = conv(dims[-1], 1, 1, padding=0, use_bias=True,
+                  name=f"conv_{3 * (len(dims) - 1)}")(h)
+        hm_jf = jnp.moveaxis(hm, -1, 1)
+        return soft_argmax_2d(hm_jf), hm_jf
+
+
+class GraphChebConvNet(nn.Module):
+    """Configurable-depth ChebConv stack over the hand skeleton (dormant;
+    reference nets.py:66-116)."""
+
+    in_dim: int
+    out_dim: int = 3
+    hidden_dim: int = 128
+    num_layers: int = 3
+    order: int = 2
+
+    @nn.compact
+    def __call__(self, x: jax.Array) -> jax.Array:
+        basis = jnp.asarray(hand_cheb_basis(order=self.order))
+        dims = [self.in_dim] + [self.hidden_dim] * (self.num_layers - 1) + [self.out_dim]
+        h = x
+        for i in range(self.num_layers):
+            h = ChebConv(dims[i], dims[i + 1], order=self.order, name=f"gcn_layers_{i}")(h, basis)
+            if i < self.num_layers - 1:
+                h = leaky_relu(h)
+        return h
+
+
+class GraphConvNet(nn.Module):
+    """Two dense GraphConvs with a learnable adjacency (dormant; reference
+    nets.py:157-170)."""
+
+    in_features: int
+    out_features: int
+    nodes: int
+
+    @nn.compact
+    def __call__(self, x: jax.Array) -> jax.Array:
+        from handmvnet_tpu.models.layers import GraphConv
+
+        a_hat = self.param("A_hat", nn.initializers.normal(1.0), (self.nodes, self.nodes))
+        h = GraphConv(self.in_features // 2, name="gconv1")(x, a_hat)
+        return GraphConv(self.out_features, name="gconv2")(h, a_hat)
+
+
+class ResidualGraphConv(nn.Module):
+    """Residual pair of GraphConvNets (dormant; reference nets.py:173-190)."""
+
+    input_dim: int
+    hid_dim: int
+    nodes: int
+
+    @nn.compact
+    def __call__(self, x: jax.Array) -> jax.Array:
+        h = GraphConvNet(self.input_dim, self.hid_dim, self.nodes, name="gconv1")(x)
+        h = nn.relu(h)
+        h = GraphConvNet(self.hid_dim, self.input_dim, self.nodes, name="gconv2")(h)
+        return nn.relu(x + h)

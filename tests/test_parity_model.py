@@ -275,3 +275,25 @@ class TestFullModelParity:
         np.testing.assert_allclose(
             np.asarray(ours["joints_cam"]), oracle["joints_cam"].numpy(), atol=1e-3
         )
+
+
+class TestHourglassParity:
+    @pytest.mark.slow
+    def test_stacked_hourglass(self, rng):
+        from handmvnet_tpu.models.backbones.hourglass import StackedHourglass
+
+        tmodel = REF.hourglass.StackedHourglass(
+            nstack=2, inp_dim=32, oup_dim=21, recur_hg=2, start=True
+        ).eval()
+        x = rng.normal(size=(1, 3, 64, 64)).astype(np.float32)
+        with torch.no_grad():
+            o_feat, o_hm, o_final = tmodel(torch.from_numpy(x))
+        converted = convert_torch_state_dict(tmodel.state_dict())
+        model = StackedHourglass(nstack=2, inp_dim=32, oup_dim=21, recur_hg=2)
+        feats, hm, final = model.apply(converted, jnp.asarray(to_nhwc(x)))
+        np.testing.assert_allclose(
+            np.transpose(np.asarray(feats), (0, 3, 1, 2)), o_feat.numpy(), atol=1e-3)
+        np.testing.assert_allclose(
+            np.transpose(np.asarray(hm), (0, 1, 4, 2, 3)), o_hm.numpy(), atol=1e-3)
+        np.testing.assert_allclose(
+            np.transpose(np.asarray(final), (0, 3, 1, 2)), o_final.numpy(), atol=1e-3)

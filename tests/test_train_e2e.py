@@ -1,0 +1,73 @@
+"""End-to-end smoke test of the training driver: synthetic HO3D-format tar
+shards -> native/python reader -> on-device preprocess -> DP train step ->
+val metrics -> checkpoint + val.json. Uses a shrunken config (64^2, 2 views)
+to keep CPU compile times sane."""
+
+import json
+
+import pytest
+import yaml
+
+import handmvnet_tpu.train as train_mod
+from handmvnet_tpu.data.ho3d import HO3DDataset
+from handmvnet_tpu.data.synthetic import write_synthetic_ho3d_shards
+
+
+@pytest.mark.slow
+def test_train_driver_end_to_end(tmp_path, monkeypatch):
+    shard_dir = tmp_path / "data"
+    write_synthetic_ho3d_shards(shard_dir, num_shards=3, samples_per_shard=4,
+                                num_views=2, split="train")
+    write_synthetic_ho3d_shards(shard_dir, num_shards=3, samples_per_shard=2,
+                                num_views=2, split="test", seed=7)
+
+    class TinyHO3D(HO3DDataset):
+        train_pattern = "HO3D_mv_train-{000000..000002}.tar"
+        test_pattern = "HO3D_mv_test-{000000..000002}.tar"
+        split_sizes = {"train": 4, "train+val": 8, "val": 4, "test": 4}
+
+    monkeypatch.setitem(train_mod.DATASETS, "ho3d", TinyHO3D)
+
+    cfg = {
+        "name": "smoke",
+        "base_output_dir": str(tmp_path / "out"),
+        "data": {
+            "name": "ho3d", "batch_size": 2, "dataset_dir": str(shard_dir),
+            "image_size": 64, "heatmap_size": 8, "augment": True,
+            "add_val_to_train": False, "num_workers": 0,
+        },
+        "model": {
+            "selected_views": [0, 1], "fusion": "cross_attn", "fusion_layers": 3,
+            "pos_enc": ["pos2d", "crop", "sin"], "use_gcn": True,
+            "backbone": "resnet", "backbone_type": "50_paper",
+            "backbone_early_return": 3, "backbone_channels": [1024],
+            "backbone_pretrained": False,
+        },
+        "train": {
+            "epochs": 1, "accumulate_batch": 1, "mask_invisible_joints": True,
+            "root_relative": True,
+            "loss_weights": {"heatmap": 10.0, "joints_2d": 1.0, "joints_3d": 1000,
+                             "g2d": 1.0, "p2d": 0.5},
+            "lr": 0.0001,
+            "lr_scheduler": {"gamma": 0.5, "milestones": [15]},
+            "weight_decay": 0.05,
+        },
+    }
+    cfg_path = tmp_path / "cfg.yaml"
+    cfg_path.write_text(yaml.safe_dump(cfg))
+
+    train_mod.main(["--config", str(cfg_path), "--num-devices", "2"])
+
+    out = tmp_path / "out"
+    assert (out / "config.yaml").exists()
+    assert (out / "metrics.jsonl").exists()
+    assert (out / "val.json").exists()
+    assert (out / "checkpoints" / "last").exists()
+
+    records = [json.loads(l) for l in (out / "metrics.jsonl").read_text().splitlines()]
+    assert len(records) == 1
+    assert "train/loss" in records[0]
+    assert "val_mpjpe" in records[0]
+
+    val = json.loads((out / "val.json").read_text())
+    assert "val_mpjpe" in val[0] and val[0]["val_mpjpe"] > 0
