@@ -148,3 +148,28 @@ def augment_batch(images: jax.Array, rng: jax.Array) -> jax.Array:
     """images: [N, H, W, 3] in [0,1]; independent augmentation per image."""
     rngs = jax.random.split(rng, images.shape[0])
     return jax.vmap(augment_image)(images, rngs)
+
+
+def jitter_square_boxes(
+    boxes: jax.Array,
+    rng: jax.Array,
+    max_shift: float = 10.0,
+    max_scale: float = 0.1,
+) -> jax.Array:
+    """Randomly shift and scale square xyxy boxes, keeping them square —
+    the reference's dormant bbox-jitter augmentation
+    (src/datasets/augment.py:10-73). boxes: [..., 4]."""
+    k_shift, k_scale = jax.random.split(rng)
+    center = (boxes[..., 0:2] + boxes[..., 2:4]) * 0.5
+    side = boxes[..., 2] - boxes[..., 0]
+    shift = jax.random.uniform(
+        k_shift, center.shape, minval=-max_shift, maxval=max_shift
+    )
+    scale = 1.0 + jax.random.uniform(
+        k_scale, side.shape, minval=-max_scale, maxval=max_scale
+    )
+    center = center + shift
+    half = side * scale * 0.5
+    return jnp.concatenate(
+        [center - half[..., None], center + half[..., None]], axis=-1
+    )

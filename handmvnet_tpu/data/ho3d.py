@@ -186,8 +186,10 @@ class MultiviewTarDataset:
         rng = np.random.default_rng(42 + hash(self.split) % 10000)
         if self.split == "train":
             rng.shuffle(urls)
+        # decode only the view range actually used (e.g. 4 of 5 HO3D views)
+        needed_views = max(self.cfg.selected_views) + 1
         loader = NativeShardLoader(
-            urls, num_views=self.total_views, image_hw=self.input_res,
+            urls, num_views=needed_views, image_hw=self.input_res,
             n_threads=min(6, max(2, len(urls))),
         )
         try:

@@ -69,8 +69,15 @@ class BatchLoader:
 
     def _sample_stream(self) -> Iterator[dict]:
         while True:  # resample forever; epoch length is steps_per_epoch
+            count = 0
             for sample in self.dataset:
+                count += 1
                 yield sample
+            if count == 0:
+                raise RuntimeError(
+                    "dataset yielded zero samples in a full pass — check shard "
+                    "paths/patterns and the view count of the tar samples"
+                )
 
     def __iter__(self) -> Iterator[dict]:
         if self._iter is None:
