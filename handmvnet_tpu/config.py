@@ -186,6 +186,10 @@ class Config:
             )
         except Exception:
             payload["git_hash"] = None
+        # record the batch-scheduler job id like the reference (config.py:68)
+        import os
+
+        payload["slurm_job_id"] = os.environ.get("SLURM_JOB_ID")
         path = out_dir / "config.yaml"
         path.write_text(yaml.safe_dump(payload, sort_keys=False))
         return path

@@ -20,22 +20,20 @@ from handmvnet_tpu.config import Config
 from handmvnet_tpu.ops.geometry import mask_joints
 
 
-def compute_pose_metrics(
+def pose_metrics_device(
     out: Mapping[str, jax.Array],
     labels: Mapping[str, jax.Array],
-    cfg: Config,
-    mode: str = "val",
+    auc_thresholds: tuple[float, float],
+    mask_invisible: bool = True,
+    root_relative: bool = True,
     vertices_fn: Callable | None = None,
-) -> Dict[str, Any]:
-    """Reference metric assembly (_calculate_mpjpe, handmvnet.py:370-423).
-
-    labels are in meters (caller divides mm by 1000). Returns scalars in mm
-    for the *_mpjpe family plus AUC/PCK aggregates; vertex metrics when a
-    joints->vertices function is provided.
-    """
-    lo, hi = cfg.auc_thresholds
+) -> Dict[str, jax.Array]:
+    """Reference metric assembly (_calculate_mpjpe, handmvnet.py:370-423) as
+    one jittable device computation — mpjpe family in mm, AUC/PCK aggregates,
+    optional vertex metrics (labels in meters)."""
+    lo, hi = auc_thresholds
     pred2d, gt2d = out["joints_crop_img"], labels["joints_crop_img"]
-    if "joints_img_mask" in labels:
+    if "joints_img_mask" in labels and mask_invisible:
         m = labels["joints_img_mask"]
         pred2d = mask_joints(pred2d, m)
         gt2d = mask_joints(gt2d, m)
@@ -43,13 +41,13 @@ def compute_pose_metrics(
     pj = out["joints_cam"]
     gj = labels["joints_cam"]
     auc = M.pck_auc(pj, gj, lo, hi, steps=20)
-    result: Dict[str, Any] = {
-        f"{mode}_mpjpe2d": float(M.mpjpe(pred2d, gt2d)),
-        f"{mode}_mpjpe": float(M.mpjpe(pj, gj)) * 1000.0,
-        f"{mode}_pa_mpjpe": float(M.pa_mpjpe(pj, gj)) * 1000.0,
-        f"{mode}_auc_j": float(auc.auc),
-        f"{mode}_norm_auc_j": float(auc.norm_auc),
-        f"{mode}_pck_j": np.asarray(auc.pck_values).tolist(),
+    result: Dict[str, jax.Array] = {
+        "mpjpe2d": M.mpjpe(pred2d, gt2d),
+        "mpjpe": M.mpjpe(pj, gj) * 1000.0,
+        "pa_mpjpe": M.pa_mpjpe(pj, gj) * 1000.0,
+        "auc_j": auc.auc,
+        "norm_auc_j": auc.norm_auc,
+        "pck_j": auc.pck_values,
     }
 
     if vertices_fn is not None and "vertices" in labels:
@@ -57,21 +55,38 @@ def compute_pose_metrics(
         gt_verts = labels["vertices"]
         auc_v = M.pck_auc(pred_verts, gt_verts, lo, hi, steps=20)
         result.update(
-            {
-                f"{mode}_mpvpe": float(M.mpjpe(pred_verts, gt_verts)) * 1000.0,
-                f"{mode}_pa_mpvpe": float(M.pa_mpjpe(pred_verts, gt_verts)) * 1000.0,
-                f"{mode}_auc_v": float(auc_v.auc),
-                f"{mode}_norm_auc_v": float(auc_v.norm_auc),
-                f"{mode}_pck_v": np.asarray(auc_v.pck_values).tolist(),
-            }
+            mpvpe=M.mpjpe(pred_verts, gt_verts) * 1000.0,
+            pa_mpvpe=M.pa_mpjpe(pred_verts, gt_verts) * 1000.0,
+            auc_v=auc_v.auc,
+            norm_auc_v=auc_v.norm_auc,
+            pck_v=auc_v.pck_values,
         )
 
-    if not cfg.train.root_relative and "root_joint" in out:
-        result[f"{mode}_w_mpjpe"] = (
-            float(M.mpjpe(out["joints_cam"] + out["root_joint"], gj + labels["root_joint"]))
-            * 1000.0
+    if not root_relative and "root_joint" in out:
+        result["w_mpjpe"] = (
+            M.mpjpe(out["joints_cam"] + out["root_joint"], gj + labels["root_joint"]) * 1000.0
         )
     return result
+
+
+def compute_pose_metrics(
+    out: Mapping[str, jax.Array],
+    labels: Mapping[str, jax.Array],
+    cfg: Config,
+    mode: str = "val",
+    vertices_fn: Callable | None = None,
+) -> Dict[str, Any]:
+    """Host-side wrapper: device metrics -> python scalars with mode prefix."""
+    device = pose_metrics_device(
+        out, labels, cfg.auc_thresholds,
+        mask_invisible=True, root_relative=cfg.train.root_relative,
+        vertices_fn=vertices_fn,
+    )
+    host = jax.device_get(device)  # one transfer for all metrics
+    return {
+        f"{mode}_{k}": (np.asarray(v).tolist() if np.ndim(v) else float(v))
+        for k, v in host.items()
+    }
 
 
 def labels_in_meters(batch: Mapping[str, np.ndarray]) -> Dict[str, Any]:
@@ -165,15 +180,31 @@ def evaluate(
     vertices_fn: Callable | None = None,
     prepare: Callable | None = None,
 ) -> Dict[str, Any]:
-    """Run one evaluation pass and return averaged metrics."""
+    """Run one evaluation pass and return averaged metrics. The metric
+    assembly is jitted once; each batch costs a single host sync."""
+    import functools
+
+    metrics_fn = jax.jit(
+        functools.partial(
+            pose_metrics_device,
+            auc_thresholds=cfg.auc_thresholds,
+            mask_invisible=True,
+            root_relative=cfg.train.root_relative,
+            vertices_fn=vertices_fn,
+        )
+    )
     avg = MetricAverager()
     for batch in loader:
         if prepare is not None:
             batch = prepare(batch)
         out = eval_step(state, batch)
         labels = labels_in_meters(batch)
-        avg.update(compute_pose_metrics(out, labels, cfg, mode, vertices_fn))
-    return avg.result()
+        device = metrics_fn(out, {k: labels[k] for k in labels if k in (
+            "joints_crop_img", "joints_cam", "root_joint", "vertices", "joints_img_mask")})
+        host = jax.device_get(device)
+        avg.update(host)
+    result = avg.result()
+    return {f"{mode}_{k}": v for k, v in result.items()}
 
 
 def write_results_json(path: str | Path, results: Mapping[str, Any]) -> None:

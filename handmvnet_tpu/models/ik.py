@@ -3,21 +3,36 @@ batched and jittable.
 
 Replaces the reference's per-sample numpy/dict implementation
 (src/utils/analytical_ik.py:50-138, adapted from Hao Meng's Minimal-Hand IK)
-with vectorized jnp: the global orientation comes from an SVD over the five
-root bones, then each finger chain is a static 15-step unroll of closed-form
-swing rotations (twist assumed zero, like the reference). Everything is
-[B, ...]-batched, so mesh recovery for a whole batch is one XLA program.
+with a TPU-shaped formulation:
+
+  * the global orientation comes from one batched 3x3 SVD over the five
+    root bones (the fixed-iteration Jacobi svd3x3 — XLA's QDWH while-loop
+    SVD costs dozens of sequential kernels for a 3x3 problem);
+  * the five finger chains are independent given the global orientation, so
+    the 15 per-joint steps collapse to THREE sequential levels, each
+    vectorized over (batch, 5 fingers) — closed-form swing rotations with
+    twist assumed zero, exactly like the reference.
+
+Parity vs the reference numpy oracle is tested to ~1e-3 on the rotation
+matrices (tests/test_mano_ik.py).
 """
 
 from __future__ import annotations
 
+import numpy as np
 import jax
 import jax.numpy as jnp
-import numpy as np
 
-from handmvnet_tpu.constants import ID2ROT, KINEMATIC_TREE, SNAP_PARENT
+from handmvnet_tpu.constants import ID2ROT
+from handmvnet_tpu.ops.svd3 import svd3x3
 
-_ROOT_BONE_CHILDREN = (1, 5, 9, 13, 17)
+_FINGER_ROOTS = (1, 5, 9, 13, 17)
+# chain levels: joints at depth 1..3 below the finger roots
+_LEVELS = (
+    (2, 6, 10, 14, 18),
+    (3, 7, 11, 15, 19),
+    (4, 8, 12, 16, 20),
+)
 
 
 def rodrigues(axis: jax.Array, angle: jax.Array) -> jax.Array:
@@ -44,11 +59,11 @@ def _global_orientation(template: jax.Array, target: jax.Array) -> jax.Array:
     Mirrors the reference's SVD + near-reflection special case
     (analytical_ik.py:80-99).
     """
-    kids = jnp.asarray(_ROOT_BONE_CHILDREN)
+    kids = jnp.asarray(_FINGER_ROOTS)
     t_bones = (template[kids] - template[0]).T  # [3, 5]
     p_bones = jnp.swapaxes(target[:, kids] - target[:, :1], -1, -2)  # [B, 3, 5]
     h = jnp.einsum("in,bjn->bij", t_bones, p_bones)  # T_0 @ P_0^T
-    u, s, vt = jnp.linalg.svd(h)
+    u, s, vt = svd3x3(h)
     v = jnp.swapaxes(vt, -1, -2)
     r0 = jnp.einsum("bij,bkj->bik", v, u)  # V @ U^T
     det = jnp.linalg.det(r0)
@@ -69,41 +84,46 @@ def adaptive_ik(template: jax.Array, target: jax.Array) -> jax.Array:
 
     Returns:
       [B, 16, 3, 3] pose rotations (slot 0 = global orientation, slots 1-15
-      per ID2ROT), exactly the reference's output layout
-      (analytical_ik.py:132-137).
+      per ID2ROT), the reference's output layout (analytical_ik.py:132-137).
     """
     b = target.shape[0]
     dtype = target.dtype
     r0 = _global_orientation(template, target)
 
-    # per-joint state: R (global rotation of the bone INTO joint k),
-    # q (reconstructed position of joint k)
-    R = {0: r0}
-    for k in _ROOT_BONE_CHILDREN:
-        R[k] = r0
-    q = {0: jnp.broadcast_to(template[0], (b, 3))}
-    R_local = {}
+    roots = jnp.asarray(_FINGER_ROOTS)
+    # per-finger chain state, vectorized over (B, 5)
+    r_pa = jnp.broadcast_to(r0[:, None], (b, 5, 3, 3))  # R of the parent joint
+    q_pa_pa = jnp.broadcast_to(template[0], (b, 5, 3))  # q of the grandparent
+    pa_ids = roots  # parent joint ids at the current level
+    pa_pa_ids = jnp.zeros((5,), jnp.int32)  # wrist
 
-    for k in KINEMATIC_TREE:
-        pa = SNAP_PARENT[k]
-        pa_pa = SNAP_PARENT[pa]
+    locals_per_level = []
+    for level in _LEVELS:
+        k_ids = jnp.asarray(level)
+        t_pa = template[pa_ids]  # [5, 3]
+        t_pa_pa = template[pa_pa_ids]
+        t_k = template[k_ids]
         # q[pa] = R[pa] @ (T[pa] - T[pa_pa]) + q[pa_pa]
-        t_bone = template[pa] - template[pa_pa]
-        q_pa = jnp.einsum("bij,j->bi", R[pa], t_bone) + q[pa_pa]
-        q[pa] = q_pa
-        # delta in the parent's local frame (R orthonormal: inv == transpose)
-        delta_p = jnp.einsum("bji,bj->bi", R[pa], target[:, k] - q_pa)
-        delta_t = template[k] - template[pa]
+        q_pa = jnp.einsum("bfij,fj->bfi", r_pa, (t_pa - t_pa_pa).astype(dtype)) + q_pa_pa
+        # delta in the parent's local frame (orthonormal: inverse == transpose)
+        delta_p = jnp.einsum("bfji,bfj->bfi", r_pa, target[:, k_ids] - q_pa)
+        delta_t = (t_k - t_pa).astype(dtype)  # [5, 3]
         axis = jnp.cross(jnp.broadcast_to(delta_t, delta_p.shape), delta_p)
-        norm_t = jnp.linalg.norm(delta_t) + 1e-8
-        norm_p = jnp.linalg.norm(delta_p, axis=-1) + 1e-8
-        cos_a = jnp.einsum("j,bj->b", delta_t.astype(dtype), delta_p) / (norm_t * norm_p)
+        norm_t = jnp.linalg.norm(delta_t, axis=-1) + 1e-8  # [5]
+        norm_p = jnp.linalg.norm(delta_p, axis=-1) + 1e-8  # [B, 5]
+        cos_a = jnp.einsum("fj,bfj->bf", delta_t, delta_p) / (norm_t * norm_p)
         alpha = jnp.arccos(jnp.clip(cos_a, -1.0, 1.0))
-        d_sw = rodrigues(axis, alpha)
-        R_local[k] = d_sw  # twist assumed zero (reference: D_tw = I)
-        R[k] = jnp.einsum("bij,bjk->bik", R[pa], d_sw)
+        d_sw = rodrigues(axis, alpha)  # [B, 5, 3, 3]; twist = 0 (reference D_tw = I)
+        locals_per_level.append(d_sw)
+        r_pa = jnp.einsum("bfij,bfjk->bfik", r_pa, d_sw)
+        q_pa_pa = q_pa
+        pa_pa_ids = pa_ids
+        pa_ids = k_ids
 
-    pose = [r0] + [None] * 15
-    for joint_id, slot in ID2ROT.items():
-        pose[slot] = R_local[joint_id]
-    return jnp.stack(pose, axis=1)
+    # scatter finger-local rotations into the 16 MANO pose slots
+    pose = jnp.zeros((b, 16, 3, 3), dtype)
+    pose = pose.at[:, 0].set(r0)
+    for level_idx, level in enumerate(_LEVELS):
+        slots = np.asarray([ID2ROT[k] for k in level])
+        pose = pose.at[:, slots].set(locals_per_level[level_idx])
+    return pose

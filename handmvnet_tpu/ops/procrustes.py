@@ -12,6 +12,8 @@ from __future__ import annotations
 import jax
 import jax.numpy as jnp
 
+from handmvnet_tpu.ops.svd3 import svd3x3
+
 
 def similarity_align(s1: jax.Array, s2: jax.Array) -> jax.Array:
     """Align s1 to s2 with the optimal similarity transform (batched).
@@ -27,7 +29,7 @@ def similarity_align(s1: jax.Array, s2: jax.Array) -> jax.Array:
     var1 = jnp.sum(x1c**2, axis=(-1, -2))
 
     k = jnp.einsum("...in,...jn->...ij", x1c, x2c)  # [B, 3, 3]
-    u, _, vt = jnp.linalg.svd(k)
+    u, _, vt = svd3x3(k)  # fixed-iteration Jacobi; QDWH is while-loop-heavy on TPU
     v = jnp.swapaxes(vt, -1, -2)
     det = jnp.linalg.det(jnp.einsum("...ij,...kj->...ik", u, v))  # det(U V^T)
     z = jnp.broadcast_to(jnp.eye(3, dtype=s1.dtype), k.shape).copy()
@@ -53,7 +55,7 @@ def rigid_align_3pt(a: jax.Array, b: jax.Array) -> tuple[jax.Array, jax.Array]:
     am = a - ca
     bm = b - cb
     h = jnp.einsum("...in,...jn->...ij", am, bm)
-    u, _, vt = jnp.linalg.svd(h)
+    u, _, vt = svd3x3(h)
     r = jnp.einsum("...ji,...kj->...ik", vt, u)  # Vt^T @ U^T
     det = jnp.linalg.det(r)
     vt_fixed = vt.at[..., 2, :].multiply(jnp.where(det < 0, -1.0, 1.0)[..., None])

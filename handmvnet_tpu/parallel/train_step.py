@@ -28,7 +28,7 @@ import jax.numpy as jnp
 import optax
 from flax import struct
 from jax.sharding import Mesh, PartitionSpec as P
-from jax.experimental.shard_map import shard_map
+from jax import shard_map
 
 from handmvnet_tpu.config import Config
 from handmvnet_tpu.losses import handmvnet_loss
@@ -86,6 +86,11 @@ def create_train_state(model, cfg: Config, rng, sample_batch, tx=None) -> TrainS
 
 
 def _forward_loss(model, cfg: Config, params, batch_stats, batch, rng):
+    if cfg.train.compute_dtype == "bfloat16":
+        # bf16 activations through the conv/attention stack (params stay fp32,
+        # losses/metrics fp32 — the model casts its outputs up)
+        batch = dict(batch)
+        batch["rgb"] = batch["rgb"].astype(jnp.bfloat16)
     out, mutated = model.apply(
         {"params": params, "batch_stats": batch_stats},
         batch["rgb"],
@@ -167,7 +172,7 @@ def make_train_step(model, cfg: Config, tx, mesh: Mesh, accum_steps: int = 1) ->
         mesh=mesh,
         in_specs=(P(), P(DATA_AXIS), P()),
         out_specs=(P(), P()),
-        check_rep=False,
+        check_vma=False,
     )
     return jax.jit(sharded, donate_argnums=(0,))
 
@@ -191,6 +196,6 @@ def make_eval_step(model, cfg: Config, mesh: Mesh) -> Callable:
         mesh=mesh,
         in_specs=(P(), P(DATA_AXIS)),
         out_specs=P(DATA_AXIS),
-        check_rep=False,
+        check_vma=False,
     )
     return jax.jit(sharded)

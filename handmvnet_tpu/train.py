@@ -107,6 +107,8 @@ def main(argv=None) -> None:
     parser.add_argument("--epochs", type=int, default=0, help="override config epochs")
     parser.add_argument("--steps-per-epoch", type=int, default=0, help="override (smoke runs)")
     parser.add_argument("--output-dir", default="")
+    parser.add_argument("--resume", action="store_true",
+                        help="resume from <output-dir>/checkpoints/last")
     args = parser.parse_args(argv)
 
     cfg = Config.from_yaml(args.config)
@@ -144,6 +146,14 @@ def main(argv=None) -> None:
         device_prepare=make_device_prepare(cfg, False),
     )))
     state = create_train_state(model, cfg, rng, first, tx=tx)
+    start_epoch = 0
+    last_ckpt = out_dir / "checkpoints" / "last"
+    if args.resume and last_ckpt.exists():
+        from handmvnet_tpu.checkpoint import restore_checkpoint
+
+        state = restore_checkpoint(last_ckpt, state)
+        start_epoch = int(state.step) // max(1, steps_per_epoch)
+        print(f"resumed from {last_ckpt} at step {int(state.step)} (epoch {start_epoch})")
     param_count = sum(np.prod(p.shape) for p in jax.tree.leaves(state.params))
     print(f"params: {param_count/1e6:.2f}M ({param_count*4/1024/1024:.1f} MB fp32)")
 
@@ -155,7 +165,7 @@ def main(argv=None) -> None:
     def shard(batch):
         return {k: jax.device_put(v, sharding) for k, v in batch.items()}
 
-    for epoch in range(cfg.train.epochs):
+    for epoch in range(start_epoch, cfg.train.epochs):
         t0 = time.time()
         avg = MetricAverager()
         for i, batch in enumerate(train_loader):

@@ -1,0 +1,45 @@
+"""Jacobi 3x3 SVD vs jnp.linalg.svd (gauge-invariant comparisons)."""
+
+import numpy as np
+import jax.numpy as jnp
+
+from handmvnet_tpu.ops.svd3 import svd3x3, symeig3x3
+
+
+def reconstruct(u, s, vt):
+    return np.einsum("...ij,...j,...jk->...ik", np.asarray(u), np.asarray(s), np.asarray(vt))
+
+
+class TestSvd3:
+    def test_reconstruction_random(self, rng):
+        h = rng.normal(size=(64, 3, 3)).astype(np.float32)
+        u, s, vt = svd3x3(jnp.asarray(h))
+        np.testing.assert_allclose(reconstruct(u, s, vt), h, atol=2e-5)
+        # singular values match LAPACK
+        s_ref = np.linalg.svd(h, compute_uv=False)
+        np.testing.assert_allclose(np.asarray(s), s_ref, atol=2e-5)
+        # orthogonality
+        utu = np.einsum("...ji,...jk->...ik", np.asarray(u), np.asarray(u))
+        np.testing.assert_allclose(utu, np.broadcast_to(np.eye(3), utu.shape), atol=2e-5)
+
+    def test_near_rank_deficient(self, rng):
+        a = rng.normal(size=(8, 3, 1))
+        b = rng.normal(size=(8, 1, 3))
+        h = (a @ b + 1e-4 * rng.normal(size=(8, 3, 3))).astype(np.float32)
+        u, s, vt = svd3x3(jnp.asarray(h))
+        # fp32 + sigma_2/3 ~ 1e-4: reconstruction error rides the tiny
+        # singular values; hand-geometry inputs are far better conditioned
+        np.testing.assert_allclose(reconstruct(u, s, vt), h, atol=1e-3)
+        utu = np.einsum("...ji,...jk->...ik", np.asarray(u), np.asarray(u))
+        np.testing.assert_allclose(utu, np.broadcast_to(np.eye(3), utu.shape), atol=1e-3)
+
+    def test_symeig(self, rng):
+        m = rng.normal(size=(16, 3, 3)).astype(np.float32)
+        a = np.einsum("...ji,...jk->...ik", m, m)
+        w, v = symeig3x3(jnp.asarray(a))
+        w_ref = np.sort(np.linalg.eigvalsh(a), axis=-1)[..., ::-1]
+        np.testing.assert_allclose(np.asarray(w), w_ref, rtol=1e-4, atol=1e-4)
+        # A v = w v
+        av = np.einsum("...ij,...jk->...ik", a, np.asarray(v))
+        wv = np.asarray(v) * np.asarray(w)[..., None, :]
+        np.testing.assert_allclose(av, wv, atol=1e-3)
