@@ -39,13 +39,22 @@ def main(argv=None) -> None:
     parser.add_argument("--config", required=True)
     parser.add_argument("--checkpoint", required=True)
     parser.add_argument("--no-vertices", action="store_true")
+    parser.add_argument("--batch-size", type=int, default=16,
+                        help="reference eval.py:56 forces 16")
     args = parser.parse_args(argv)
 
     cfg = Config.from_yaml(args.config)
     # reference eval.py:56-58 forces bs=16, 6 workers, vertices on
-    cfg = cfg.replace(data=dataclasses.replace(cfg.data, batch_size=16, num_workers=6))
+    cfg = cfg.replace(
+        data=dataclasses.replace(cfg.data, batch_size=args.batch_size, num_workers=6)
+    )
 
-    mesh = make_mesh()
+    # the batch is sharded over the mesh: don't use more devices than samples
+    n_dev = len(jax.devices())
+    usable = max(1, min(n_dev, args.batch_size))
+    while args.batch_size % usable:
+        usable -= 1
+    mesh = make_mesh(num_devices=usable)
     model = HandMvNet(
         cfg=cfg.model, image_size=cfg.data.image_size, heatmap_size=cfg.data.heatmap_size
     )
@@ -65,6 +74,11 @@ def main(argv=None) -> None:
         from handmvnet_tpu.checkpoint import restore_checkpoint
 
         state = restore_checkpoint(ckpt_path, state)
+
+    # restored arrays are committed to a single device; replicate over the mesh
+    from handmvnet_tpu.parallel.mesh import replicated
+
+    state = jax.device_put(state, replicated(mesh))
 
     vertices_fn = None
     if not args.no_vertices:

@@ -221,7 +221,10 @@ class ManoLayer:
             "vcp,bp->bvc", jnp.asarray(m.posedirs, dtype), pose_feat
         )
 
-        # forward kinematics along the chain (static 16-step unroll)
+        # forward kinematics: the MANO tree is depth 3 below the wrist with
+        # five independent finger chains, so the 15 per-joint steps collapse
+        # to three levels batched over (B, 5 fingers) — same reshaping as the
+        # IK solver (models/ik.py)
         def make_tf(r, t):
             top = jnp.concatenate([r, t[..., None]], axis=-1)
             bottom = jnp.broadcast_to(
@@ -229,12 +232,17 @@ class ManoLayer:
             )
             return jnp.concatenate([top, bottom], axis=-2)
 
-        world = [make_tf(pose_rotmats[:, 0], joints[:, 0])]
-        for k in range(1, 16):
-            pa = self._parents[k]
-            local = make_tf(pose_rotmats[:, k], joints[:, k] - joints[:, pa])
-            world.append(jnp.einsum("bij,bjk->bik", world[pa], local))
-        world = jnp.stack(world, axis=1)  # [B, 16, 4, 4]
+        rel = joints - joints[:, self._parents]  # [B, 16, 3]
+        rel = rel.at[:, 0].set(joints[:, 0])
+        locals_tf = make_tf(pose_rotmats, rel)  # [B, 16, 4, 4]
+
+        levels = ((1, 4, 7, 10, 13), (2, 5, 8, 11, 14), (3, 6, 9, 12, 15))
+        world = jnp.zeros((b, 16, 4, 4), dtype).at[:, 0].set(locals_tf[:, 0])
+        parent_tf = jnp.broadcast_to(locals_tf[:, 0:1], (b, 5, 4, 4))
+        for level in levels:
+            ids = jnp.asarray(level)
+            parent_tf = jnp.einsum("bfij,bfjk->bfik", parent_tf, locals_tf[:, ids])
+            world = world.at[:, ids].set(parent_tf)
 
         posed_joints = world[:, :, :3, 3]
         # remove the rest-pose joint offset so LBS maps rest verts correctly

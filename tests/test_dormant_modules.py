@@ -1,0 +1,113 @@
+"""Shape/finite smoke tests for the dormant-but-spec'd capability surface
+(SURVEY.md §2.3/2.4): bisected hourglass, legacy PoseNet head, graph module
+zoo, PE variants, ManoDecoder, frequency encoding."""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+
+class TestDormantBackbones:
+    def test_bisected_hourglass_shapes(self):
+        from handmvnet_tpu.models.backbones.hourglass import StackedBisectedHourglass
+
+        m = StackedBisectedHourglass(nstack=2, inp_dim=32, oup_dim=21, recur_hg=2)
+        x = jnp.ones((1, 64, 64, 3))
+        v = jax.jit(m.init)(jax.random.PRNGKey(0), x)
+        feats, hm, final, mask = m.apply(v, x)
+        assert feats.shape == (1, 8, 8, 32)
+        assert hm.shape == (1, 2, 8, 8, 21)
+        assert final.shape == (1, 8, 8, 32)
+        assert mask.shape == (1, 2, 8, 8, 1)
+
+
+class TestDormantNets:
+    def test_legacy_posenet(self):
+        from handmvnet_tpu.models.nets import PoseNet
+
+        m = PoseNet(channels=(64, 21))
+        x = jnp.ones((2, 32, 32, 128))
+        v = m.init(jax.random.PRNGKey(0), x)
+        coords, hm = m.apply(v, x)
+        assert coords.shape == (2, 21, 2)
+        assert hm.shape == (2, 21, 32, 32)
+        # legacy checkpoint key remap covers this head (eval.py:15-52)
+        from handmvnet_tpu.checkpoint import LEGACY_REMAPS
+
+        assert any("pose_net" in p.pattern for p, _ in LEGACY_REMAPS)
+
+    def test_graph_cheb_conv_net(self):
+        from handmvnet_tpu.models.nets import GraphChebConvNet
+
+        m = GraphChebConvNet(in_dim=32, out_dim=3, hidden_dim=16, num_layers=3)
+        x = jnp.ones((2, 21, 32))
+        v = m.init(jax.random.PRNGKey(0), x)
+        out = m.apply(v, x)
+        assert out.shape == (2, 21, 3)
+        assert np.isfinite(np.asarray(out)).all()
+
+    def test_residual_graph_conv(self):
+        from handmvnet_tpu.models.nets import ResidualGraphConv
+
+        m = ResidualGraphConv(input_dim=16, hid_dim=8, nodes=21)
+        x = jnp.ones((2, 21, 16))
+        v = m.init(jax.random.PRNGKey(0), x)
+        out = m.apply(v, x)
+        assert out.shape == (2, 21, 16)
+
+    def test_graph_pool_unpool(self):
+        from handmvnet_tpu.models.layers import GraphPool, GraphUnpool
+
+        x = jnp.ones((2, 21, 8))
+        pool = GraphPool(out_nodes=10)
+        v = pool.init(jax.random.PRNGKey(0), x)
+        pooled = pool.apply(v, x)
+        assert pooled.shape == (2, 10, 8)
+        unpool = GraphUnpool(out_nodes=21)
+        v2 = unpool.init(jax.random.PRNGKey(0), pooled)
+        assert unpool.apply(v2, pooled).shape == (2, 21, 8)
+
+
+class TestDormantEncodings:
+    def test_learnable_pe(self):
+        from handmvnet_tpu.models.layers import LearnablePositionalEncoding
+
+        m = LearnablePositionalEncoding(d_model=16, max_len=50)
+        x = jnp.ones((2, 30, 16))
+        v = m.init(jax.random.PRNGKey(0), x)
+        assert m.apply(v, x).shape == (2, 30, 16)
+
+    def test_frequency_encoding(self):
+        from handmvnet_tpu.models.layers import frequency_encoding
+
+        x = jnp.ones((2, 21, 2))
+        out = frequency_encoding(x, num_frequencies=4)
+        assert out.shape[:2] == (2, 21)
+        assert out.shape[-1] == 2 * 2 * 2  # 2 coords x (sin+cos) x 2 freqs
+
+    def test_soft_argmax_3d(self):
+        from handmvnet_tpu.ops.heatmap import soft_argmax_3d
+
+        hm = np.zeros((1, 2, 8, 8, 8), dtype=np.float32)
+        hm[0, 0, 3, 4, 5] = 10.0
+        out = np.asarray(soft_argmax_3d(jnp.asarray(hm)))
+        np.testing.assert_allclose(out[0, 0], [5.0, 4.0, 3.0], atol=1e-2)
+
+
+class TestManoDecoder:
+    def test_decode_axis_angle_both_sides(self):
+        from handmvnet_tpu.models.mano import ManoDecoder
+
+        dec = ManoDecoder(mano_dir=None)
+        pose = np.zeros((2, 48), dtype=np.float32)
+        for side in ("right", "left"):
+            verts, joints = dec.decode(pose, side=side)
+            assert verts.shape == (2, 778, 3)
+            assert joints.shape == (2, 21, 3)
+            assert np.isfinite(np.asarray(verts)).all()
+        # left hand is mirrored in x
+        vr, _ = dec.decode(pose, side="right")
+        vl, _ = dec.decode(pose, side="left")
+        np.testing.assert_allclose(
+            np.asarray(vl)[..., 0], -np.asarray(vr)[..., 0], atol=1e-3
+        )
