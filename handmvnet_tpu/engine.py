@@ -121,17 +121,33 @@ class MetricAverager:
 
 
 class JsonlLogger:
-    """Append-only metrics log (one JSON object per line) + stdout echo."""
+    """Append-only metrics log (one JSON object per line) + stdout echo +
+    optional TensorBoard scalars (the reference logs through Lightning to TB,
+    train.py default_root_dir/lightning_logs)."""
 
-    def __init__(self, path: str | Path, echo: bool = True):
+    def __init__(self, path: str | Path, echo: bool = True, tensorboard_dir: str | Path | None = None):
         self.path = Path(path)
         self.path.parent.mkdir(parents=True, exist_ok=True)
         self.echo = echo
+        self._tb = None
+        if tensorboard_dir is not None:
+            try:
+                from torch.utils.tensorboard import SummaryWriter
+
+                self._tb = SummaryWriter(str(tensorboard_dir))
+            except Exception as e:  # pragma: no cover
+                print(f"[warning] tensorboard unavailable: {e}")
 
     def log(self, record: Mapping[str, Any]) -> None:
         rec = {k: v for k, v in record.items() if not isinstance(v, (list, tuple))}
         with open(self.path, "a") as f:
             f.write(json.dumps(record, default=float) + "\n")
+        if self._tb is not None:
+            step = int(record.get("epoch", record.get("step", 0)))
+            for k, v in rec.items():
+                if isinstance(v, (int, float)) and k not in ("epoch", "step"):
+                    self._tb.add_scalar(k, v, step)
+            self._tb.flush()
         if self.echo:
             print(
                 " ".join(

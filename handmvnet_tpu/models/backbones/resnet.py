@@ -127,11 +127,13 @@ class ResNetBackbone(nn.Module):
                 )(h, train=train)
                 inplanes = planes * expansion
             features[f"res_layer{stage + 1}"] = h
+            if stage == 3:
+                # reference computes the pooled vector before the early-return
+                # check (resnet.py:244-249)
+                features["res_layer4_mean"] = h.mean(axis=(1, 2))
             if self.early_return == stage + 1 and self.variant != "paper":
                 return features
 
         if self.variant == "paper":
             return h  # single [B, H/8, W/8, 1024] map
-        # early_return == 4: include the pooled vector like the reference
-        features["res_layer4_mean"] = h.mean(axis=(1, 2))
         return features

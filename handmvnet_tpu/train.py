@@ -117,7 +117,7 @@ def main(argv=None) -> None:
     out_dir = Path(args.output_dir or cfg.base_output_dir)
     out_dir.mkdir(parents=True, exist_ok=True)
     cfg.dump(out_dir)
-    logger = JsonlLogger(out_dir / "metrics.jsonl")
+    logger = JsonlLogger(out_dir / "metrics.jsonl", tensorboard_dir=out_dir / "tb")
 
     seed = cfg.train.seed
     rng = jax.random.PRNGKey(seed)

@@ -1,0 +1,67 @@
+"""Golden full-resolution shape specs from the reference's __main__ smoke
+blocks (resnet.py:398-403, hrnet.py:514-518, hourglass.py:302-306,
+handmvnet.py:110-115/162-196) — the reference's informal unit tests, made
+real."""
+
+import numpy as np
+import pytest
+import jax
+import jax.numpy as jnp
+
+from handmvnet_tpu.models.backbones.resnet import ResNetBackbone
+from handmvnet_tpu.models.backbones.hrnet import HRNetBackbone
+
+
+@pytest.mark.slow
+class TestGoldenShapes:
+    def test_resnet34_early4_at_256(self):
+        m = ResNetBackbone(version="34", early_return=4)
+        x = jnp.ones((2, 256, 256, 3))
+        v = jax.jit(m.init)(jax.random.PRNGKey(0), x)
+        out = m.apply(v, x)
+        # reference resnet.py:398-403 (NCHW there; NHWC here)
+        assert out["res_layer1"].shape == (2, 64, 64, 64)
+        assert out["res_layer2"].shape == (2, 32, 32, 128)
+        assert out["res_layer3"].shape == (2, 16, 16, 256)
+        assert out["res_layer4"].shape == (2, 8, 8, 512)
+        assert out["res_layer4_mean"].shape == (2, 512)
+
+    def test_resnet50_paper_at_256(self):
+        m = ResNetBackbone(version="50_paper", early_return=3)
+        x = jnp.ones((1, 256, 256, 3))
+        v = jax.jit(m.init)(jax.random.PRNGKey(0), x)
+        out = m.apply(v, x)
+        # reference handmvnet.py:179: single [b*v, 1024, 32, 32] map
+        assert out.shape == (1, 32, 32, 1024)
+
+    def test_hrnet_w40_at_256(self):
+        m = HRNetBackbone(width="w40")
+        x = jnp.ones((1, 256, 256, 3))
+        v = jax.jit(m.init)(jax.random.PRNGKey(0), x)
+        outs = m.apply(v, x)
+        # reference hrnet.py:514-518
+        shapes = [(1, 64, 64, 40), (1, 32, 32, 80), (1, 16, 16, 160), (1, 8, 8, 320)]
+        assert [tuple(o.shape) for o in outs] == shapes
+
+    def test_full_model_output_contract_at_256(self):
+        """reference handmvnet.py:254-266 output dict shapes (5 views)."""
+        from handmvnet_tpu.config import Config
+        from handmvnet_tpu.models import HandMvNet
+        from handmvnet_tpu.data.synthetic import synthetic_batch
+        from bench import _random_variables
+
+        cfg = Config.from_yaml("configs/release/HO3D_HandMvNet.yaml")
+        model = HandMvNet(cfg=cfg.model)
+        batch = synthetic_batch(batch_size=2, num_views=5, with_heatmaps=False)
+        variables = _random_variables(
+            model, 0, batch["rgb"], batch["bboxes"], batch["intrinsic"]
+        )
+        out = jax.jit(model.apply)(
+            variables, batch["rgb"], batch["bboxes"], batch["intrinsic"]
+        )
+        assert out["joints_crop_img"].shape == (2, 5, 21, 2)
+        assert out["joints_cam"].shape == (2, 21, 3)
+        assert out["heatmap"].shape == (2, 5, 21, 32, 32)
+        # 2D coords are in 256-crop pixels (x8 rescale from the 32^2 heatmap)
+        coords = np.asarray(out["joints_crop_img"])
+        assert coords.min() >= 0.0 and coords.max() <= 256.0
