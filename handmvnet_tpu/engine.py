@@ -7,7 +7,6 @@ reference: src/models/handmvnet.py:353-516, src/train.py, src/eval.py).
 from __future__ import annotations
 
 import json
-import time
 from pathlib import Path
 from typing import Any, Callable, Dict, Iterable, Mapping
 

@@ -13,13 +13,12 @@ import dataclasses
 from pathlib import Path
 
 import jax
-import numpy as np
 
 from handmvnet_tpu.config import Config
 from handmvnet_tpu.engine import evaluate, write_results_json
 from handmvnet_tpu.models import HandMvNet
 from handmvnet_tpu.parallel import create_train_state, make_eval_step, make_mesh, make_optimizer
-from handmvnet_tpu.train import DATASETS, build_dataloaders
+from handmvnet_tpu.train import build_dataloaders
 
 
 def load_torch_checkpoint(path: str, model, cfg: Config):

@@ -9,7 +9,7 @@ keeps masked terms in the denominator.
 
 from __future__ import annotations
 
-from typing import Any, Dict, Mapping
+from typing import Dict, Mapping
 
 import jax
 import jax.numpy as jnp

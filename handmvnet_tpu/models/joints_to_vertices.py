@@ -17,7 +17,6 @@ from typing import Callable
 
 import jax
 import jax.numpy as jnp
-import numpy as np
 
 from handmvnet_tpu.models.ik import adaptive_ik
 from handmvnet_tpu.models.mano import ManoLayer

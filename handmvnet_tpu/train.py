@@ -29,9 +29,7 @@ from handmvnet_tpu.engine import (
     CheckpointManager,
     JsonlLogger,
     MetricAverager,
-    compute_pose_metrics,
     evaluate,
-    labels_in_meters,
     write_results_json,
 )
 from handmvnet_tpu.models import HandMvNet
@@ -109,7 +107,13 @@ def main(argv=None) -> None:
     parser.add_argument("--output-dir", default="")
     parser.add_argument("--resume", action="store_true",
                         help="resume from <output-dir>/checkpoints/last")
+    parser.add_argument("--multihost", action="store_true",
+                        help="initialize jax.distributed (multi-host SPMD; "
+                             "the input pipeline auto-shards by process_index)")
     args = parser.parse_args(argv)
+
+    if args.multihost:
+        jax.distributed.initialize()
 
     cfg = Config.from_yaml(args.config)
     if args.epochs:
@@ -165,6 +169,17 @@ def main(argv=None) -> None:
     def shard(batch):
         return {k: jax.device_put(v, sharding) for k, v in batch.items()}
 
+    # preemption resilience (the reference records SLURM ids but has no
+    # handler, SURVEY §5.3): checkpoint "last" on SIGTERM, then exit
+    import signal
+
+    preempted = {"flag": False}
+
+    def _on_sigterm(signum, frame):
+        preempted["flag"] = True
+
+    signal.signal(signal.SIGTERM, _on_sigterm)
+
     for epoch in range(start_epoch, cfg.train.epochs):
         t0 = time.time()
         avg = MetricAverager()
@@ -172,6 +187,13 @@ def main(argv=None) -> None:
             state, losses = train_step(state, shard(batch), jax.random.fold_in(rng, epoch * 100003 + i))
             avg.update({k: float(v) for k, v in losses.items()})
         train_metrics = avg.result()
+
+        if preempted["flag"]:
+            from handmvnet_tpu.checkpoint import save_checkpoint
+
+            save_checkpoint(out_dir / "checkpoints" / "last", state)
+            print(f"SIGTERM received — checkpointed at epoch {epoch}, exiting")
+            return
 
         val_metrics = evaluate(eval_step, state, val_loader, cfg, mode="val")
         val_mpjpe = val_metrics.get("val_mpjpe", float("inf"))
