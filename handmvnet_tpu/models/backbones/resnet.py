@@ -88,6 +88,7 @@ class ResNetBackbone(nn.Module):
     version: str = "50_paper"
     early_return: int = 3
     frozen_bn: bool = False
+    remat: bool = False  # rematerialize blocks in backward (trades FLOPs for HBM)
 
     @property
     def variant(self) -> str:
@@ -97,6 +98,12 @@ class ResNetBackbone(nn.Module):
     def __call__(self, x: jax.Array, train: bool = False) -> Any:
         block_kind, stage_sizes = _LAYOUTS[self.version]
         block_cls = BasicBlock if block_kind == "basic" else Bottleneck
+        if self.remat:
+            # the paper-variant backbone holds ~50 x [B*V,32,32,256+] saved
+            # activations for backward — far beyond one v5e's HBM at the
+            # reference's batch 16 x 5 views; per-block remat keeps only
+            # block boundaries and recomputes inside
+            block_cls = nn.remat(block_cls, static_argnums=(2,))
         expansion = 1 if block_kind == "basic" else 4
         bn_eval = (not train) or self.frozen_bn
 
@@ -124,7 +131,7 @@ class ResNetBackbone(nn.Module):
                     has_downsample=needs_ds,
                     frozen_bn=self.frozen_bn,
                     name=f"layer{stage + 1}_{bidx}",
-                )(h, train=train)
+                )(h, train)  # train positional: remat static_argnums counts (self, x, train)
                 inplanes = planes * expansion
             features[f"res_layer{stage + 1}"] = h
             if stage == 3:

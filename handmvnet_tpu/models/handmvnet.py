@@ -49,6 +49,7 @@ class HandMvNet(nn.Module):
     image_size: int = 256
     heatmap_size: int = 32
     root_relative: bool = True
+    remat: bool = False  # rematerialize backbone blocks (training memory)
 
     def _backbone_features(self, x: jax.Array, train: bool) -> list[jax.Array]:
         cfg = self.cfg
@@ -59,6 +60,7 @@ class HandMvNet(nn.Module):
                 version=cfg.backbone_type,
                 early_return=cfg.backbone_early_return,
                 frozen_bn=cfg.freeze_bn,
+                remat=self.remat,
                 name="backbone",
             )(x, train=train)
             if isinstance(out, dict):

@@ -67,12 +67,16 @@ def make_optimizer(cfg: Config, steps_per_epoch: int = 1000) -> optax.GradientTr
 
 
 def create_train_state(model, cfg: Config, rng, sample_batch, tx=None) -> TrainState:
-    variables = model.init(
+    # jit the init: eager (op-by-op) flax init dispatches hundreds of tiny
+    # kernels, which is pathologically slow on relayed TPU transports
+    init_fn = jax.jit(
+        lambda rng, rgb, boxes, intr: model.init(rng, rgb, boxes, intr, train=False)
+    )
+    variables = init_fn(
         rng,
-        sample_batch["rgb"],
-        sample_batch["bboxes"],
-        sample_batch["intrinsic"],
-        train=False,
+        jnp.asarray(sample_batch["rgb"]),
+        jnp.asarray(sample_batch["bboxes"]),
+        jnp.asarray(sample_batch["intrinsic"]),
     )
     params = variables["params"]
     batch_stats = variables.get("batch_stats", {})

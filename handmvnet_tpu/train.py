@@ -110,10 +110,15 @@ def main(argv=None) -> None:
     parser.add_argument("--multihost", action="store_true",
                         help="initialize jax.distributed (multi-host SPMD; "
                              "the input pipeline auto-shards by process_index)")
+    parser.add_argument("--detect-anomaly", action="store_true",
+                        help="raise on NaNs inside jitted code (the reference's "
+                             "torch detect_anomaly switch, eval.py:63)")
     args = parser.parse_args(argv)
 
     if args.multihost:
         jax.distributed.initialize()
+    if args.detect_anomaly:
+        jax.config.update("jax_debug_nans", True)
 
     cfg = Config.from_yaml(args.config)
     if args.epochs:
@@ -135,7 +140,10 @@ def main(argv=None) -> None:
     accum = cfg.train.accumulate_batch or (2 if cfg.data.batch_size < 64 and n_dev < 3 else 1)
 
     model = HandMvNet(
-        cfg=cfg.model, image_size=cfg.data.image_size, heatmap_size=cfg.data.heatmap_size
+        cfg=cfg.model, image_size=cfg.data.image_size,
+        heatmap_size=cfg.data.heatmap_size,
+        remat=True,  # backward memory: the reference's bs-16 x 5-view step
+                     # exceeds one chip's HBM without rematerialization
     )
 
     train_loader, val_loader, test_loader = build_dataloaders(cfg, mesh)
