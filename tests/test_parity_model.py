@@ -298,3 +298,74 @@ class TestHourglassParity:
             np.transpose(np.asarray(hm), (0, 1, 4, 2, 3)), o_hm.numpy(), atol=1e-3)
         np.testing.assert_allclose(
             np.transpose(np.asarray(final), (0, 3, 1, 2)), o_final.numpy(), atol=1e-3)
+
+
+def build_torch_hrnet_model(cfg: Config):
+    """Reference-submodule wiring for the HRNet release variant
+    (handmvnet.py:41-57: stride-2 conv head on the 64^2 branch, 4 SampleNets)."""
+    m = cfg.model
+
+    class TorchHandMvNetHR(torch.nn.Module):
+        def __init__(self):
+            super().__init__()
+            self.backbone = REF.hrnet.HRNet({"PRETRAINED": "", "HRNET_TYPE": m.backbone_type})
+            self.pose_net = torch.nn.Conv2d(m.backbone_channels[0], 21,
+                                            kernel_size=3, stride=2, padding=1)
+            self.sample_nets = torch.nn.ModuleList(
+                [REF.nets.SampleNet([c, c // 2]) for c in m.backbone_channels]
+            )
+            self.joints_late_fusion = REF.fusion.CrossAttentionFusion(
+                feat_dim=m.feat_dim, max_tokens=21 * m.num_views,
+                custom_query_length=21, num_layers=m.fusion_layers, drop_out=0.1,
+            )
+            self.joints_decoder = REF.nets.JointsDecoderGCN(in_features=m.feat_dim)
+
+        def forward(self, x):
+            b, v, c, h, w = x.shape
+            feats = self.backbone(x.view(-1, c, h, w))
+            joint_hms = self.pose_net(feats[0])
+            joint_coords = REF.model_utils.soft_argmax_2d(joint_hms)
+            sampled = torch.cat(
+                [net(feats[i], joint_coords) for i, net in enumerate(self.sample_nets)],
+                dim=-1,
+            )
+            if "pos2d" in m.pos_enc:
+                sampled = torch.cat([sampled, joint_coords], dim=2)
+            tokens = sampled.view(-1, m.num_views * sampled.shape[1], sampled.shape[2])
+            fused = self.joints_late_fusion(tokens, add_pos="sin" in m.pos_enc)
+            return self.joints_decoder(fused), joint_hms
+
+    return TorchHandMvNetHR().eval()
+
+
+class TestFullModelParityHRNet:
+    @pytest.mark.slow
+    def test_ho3d_hrnet_wo_cam_full_forward(self, rng):
+        """HR_wo_cam release variant: 4-level HRNet pyramid, cross-scale
+        SampleNet sampling (incl. out-of-bounds zero taps on the 16^2/8^2
+        maps), no crop-FoV encoding."""
+        import dataclasses
+
+        cfg = Config.from_yaml("configs/release/HO3D_HandMvNet_HR_wo_cam.yaml")
+        cfg = cfg.replace(model=dataclasses.replace(cfg.model, selected_views=(0, 1)))
+        tmodel = build_torch_hrnet_model(cfg)
+
+        b, v = 1, 2
+        x = rng.normal(size=(b, v, 3, 256, 256)).astype(np.float32) * 0.5
+        with torch.no_grad():
+            oracle_joints, oracle_hms = tmodel(torch.from_numpy(x))
+
+        converted = convert_torch_state_dict(tmodel.state_dict())
+        model = HandMvNet(cfg=cfg.model, image_size=256, heatmap_size=32)
+        x_nhwc = jnp.asarray(np.transpose(x, (0, 1, 3, 4, 2)))
+        ours = model.apply(converted, x_nhwc)
+
+        # random-init HRNet magnifies activations to ~1e8, so compare
+        # relative to the heatmap scale (fp32 accumulation noise otherwise
+        # reads as hundreds in absolute terms)
+        hm = np.asarray(ours["heatmap"]).reshape(oracle_hms.shape)
+        scale = np.abs(oracle_hms.numpy()).max() + 1e-30
+        np.testing.assert_allclose(hm / scale, oracle_hms.numpy() / scale, atol=1e-4)
+        np.testing.assert_allclose(
+            np.asarray(ours["joints_cam"]), oracle_joints.numpy(), atol=1e-4
+        )

@@ -102,3 +102,30 @@ class TestTrainStep:
         import __graft_entry__ as ge
 
         ge.dryrun_multichip(4)
+
+    def test_overfit_single_batch(self):
+        """Gradients flow end-to-end: 15 AdamW steps on one tiny batch must
+        cut the loss substantially (catches dead branches / detached paths)."""
+        import optax
+
+        from handmvnet_tpu.parallel.train_step import TrainState, create_train_state
+
+        cfg = tiny_cfg()
+        import dataclasses
+        cfg = cfg.replace(train=dataclasses.replace(cfg.train, lr=3e-4))
+        model = tiny_model(cfg)
+        mesh = make_mesh(num_devices=1)
+        batch = synthetic_batch(batch_size=2, num_views=2, image_size=64,
+                                heatmap_size=8, seed=11)
+        tx = make_optimizer(cfg, steps_per_epoch=1000)
+        state = create_train_state(model, cfg, jax.random.PRNGKey(0), batch, tx=tx)
+        step = make_train_step(model, cfg, tx, mesh, accum_steps=1)
+
+        losses0 = None
+        for i in range(15):
+            state, losses = step(state, batch, jax.random.PRNGKey(100))
+            if losses0 is None:
+                losses0 = float(losses["loss"])
+        final = float(losses["loss"])
+        assert np.isfinite(final)
+        assert final < 0.7 * losses0, (losses0, final)
