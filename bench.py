@@ -54,6 +54,7 @@ def _random_variables(model, rng_seed, *example_args):
 
 def main() -> None:
     parser = argparse.ArgumentParser()
+    parser.add_argument("--config", default="configs/release/HO3D_HandMvNet.yaml")
     parser.add_argument("--views", type=int, default=8)
     parser.add_argument("--batch", type=int, default=1)
     parser.add_argument("--warmup", type=int, default=100)
@@ -74,7 +75,7 @@ def main() -> None:
     from handmvnet_tpu.data.synthetic import synthetic_batch
     from handmvnet_tpu.models import HandMvNet
 
-    cfg = Config.from_yaml("configs/release/HO3D_HandMvNet.yaml")
+    cfg = Config.from_yaml(args.config)
     cfg = cfg.replace(
         model=dataclasses.replace(cfg.model, selected_views=tuple(range(args.views)))
     )
@@ -147,7 +148,8 @@ def main() -> None:
     print(
         json.dumps(
             {
-                "metric": f"handmvnet_fps_b{args.batch}_v{args.views}_{args.dtype}"
+                "metric": f"handmvnet_{cfg.model.backbone}{cfg.model.backbone_type}"
+                f"_fps_b{args.batch}_v{args.views}_{args.dtype}"
                 + ("" if with_vertices else "_novtx"),
                 "value": round(fps, 2),
                 "unit": "frames/sec",
