@@ -43,18 +43,22 @@ class HRModule(nn.Module):
     num_branches: int
     channels: Sequence[int]
     num_blocks: int = 4
+    remat: bool = False
 
     @nn.compact
     def __call__(self, xs: list[jax.Array], train: bool = False) -> list[jax.Array]:
         bn_eval = not train
+        block_cls = (
+            nn.remat(BasicBlock, static_argnums=(2,)) if self.remat else BasicBlock
+        )
         outs = []
         for i in range(self.num_branches):
             h = xs[i]
             for b in range(self.num_blocks):
-                h = BasicBlock(
+                h = block_cls(
                     planes=self.channels[i], stride=1, has_downsample=False,
                     name=f"branches_{i}_{b}",
-                )(h, train=train)
+                )(h, train)
             outs.append(h)
 
         fused = []
@@ -88,6 +92,7 @@ class HRNetBackbone(nn.Module):
     """Input [B, 256, 256, 3] -> list of 4 maps (64^2..8^2)."""
 
     width: str = "w40"
+    remat: bool = False  # rematerialize branch blocks in backward
 
     @nn.compact
     def __call__(self, x: jax.Array, train: bool = False) -> list[jax.Array]:
@@ -132,6 +137,7 @@ class HRNetBackbone(nn.Module):
                 xs = HRModule(
                     num_branches=num_branches,
                     channels=widths[:num_branches],
+                    remat=self.remat,
                     name=f"stage{stage_no}_{m}",
                 )(xs, train=train)
         return xs

@@ -54,7 +54,8 @@ class HandMvNet(nn.Module):
     def _backbone_features(self, x: jax.Array, train: bool) -> list[jax.Array]:
         cfg = self.cfg
         if cfg.backbone == "hrnet":
-            return HRNetBackbone(width=cfg.backbone_type, name="backbone")(x, train=train)
+            return HRNetBackbone(width=cfg.backbone_type, remat=self.remat,
+                                 name="backbone")(x, train=train)
         if cfg.backbone == "resnet":
             out = ResNetBackbone(
                 version=cfg.backbone_type,

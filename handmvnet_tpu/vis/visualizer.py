@@ -180,6 +180,35 @@ class HandPoseVisualizer:
         views = self._views("full_rgb", idx)
         return _grid([draw_joints_2d(v, j) for v, j in zip(views, projected)])
 
+    def visualize_projected_vertices_2d_on_full_image(
+        self, idx: int = 0, stride: int = 8
+    ) -> np.ndarray:
+        """Project the GT/pred mesh vertices into every view (subsampled by
+        ``stride`` for drawing speed)."""
+        import cv2
+        import jax.numpy as jnp
+
+        from handmvnet_tpu.ops.camera import reproject_to_views
+
+        verts = self.batch["vertices"][idx] + self.batch["root_joint"][idx]
+        projected = np.asarray(
+            reproject_to_views(
+                jnp.asarray(verts[None] / 1000.0),
+                0,
+                jnp.asarray(self.batch["intrinsic"][idx][None]),
+                jnp.asarray(self.batch["extrinsic"][idx][None]),
+            )
+        )[0][:, ::stride]
+        views = self._views("full_rgb", idx)
+        panels = []
+        for v, pts in zip(views, projected):
+            canvas = np.ascontiguousarray(v[:, :, ::-1]).copy()
+            for p in pts:
+                if np.isfinite(p).all():
+                    cv2.circle(canvas, tuple(p.astype(int)), 1, (255, 128, 0), -1)
+            panels.append(canvas)
+        return _grid(panels)
+
     # -------------------------------------------------------------- 3D
     def visualize_3d_joints(self, idx: int = 0, save_path: str | None = None):
         import matplotlib

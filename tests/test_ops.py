@@ -342,3 +342,45 @@ class TestFusedHeatmapResize:
         compose = np.asarray(resize_bilinear_antialias(full, (32, 32)))
         fused = np.asarray(render_gaussian_heatmaps_resized(jnp.asarray(pts), 256, 32))
         np.testing.assert_allclose(fused, compose, atol=1e-6)
+
+
+class TestGeometryExtras:
+    def test_points_to_square_box(self, rng):
+        from handmvnet_tpu.ops.geometry import points_to_square_box
+
+        pts = rng.uniform(50, 400, size=(21, 2)).astype(np.float32)
+        box = np.asarray(points_to_square_box(jnp.asarray(pts)))
+        # reference formula (src/datasets/utils.py:5-27)
+        x_min, y_min = int(pts[:, 0].min()), int(pts[:, 1].min())
+        x_max, y_max = int(pts[:, 0].max()), int(pts[:, 1].max())
+        w, h = x_max - x_min, y_max - y_min
+        if h != w:
+            diff = abs(h - w)
+            pad = diff // 2
+            if h > w:
+                x_min -= pad if diff % 2 == 0 else pad + 1
+                x_max += pad
+            else:
+                y_min -= pad if diff % 2 == 0 else pad + 1
+                y_max += pad
+        np.testing.assert_array_equal(box, [x_min, y_min, x_max, y_max])
+        assert box[2] - box[0] == box[3] - box[1]  # square
+
+    def test_cam_world_roundtrip(self, rng):
+        from handmvnet_tpu.ops.camera import cam_to_world, world_to_cam
+
+        q, _ = np.linalg.qr(rng.normal(size=(3, 3)))
+        ext = np.eye(4, dtype=np.float32)
+        ext[:3, :3] = q * np.sign(np.linalg.det(q))
+        ext[:3, 3] = rng.normal(size=3)
+        pts = rng.normal(size=(7, 3)).astype(np.float32)
+        world = cam_to_world(jnp.asarray(pts), jnp.asarray(ext))
+        back = np.asarray(world_to_cam(world, jnp.asarray(ext)))
+        np.testing.assert_allclose(back, pts, atol=1e-4)
+
+    def test_intrinsics_matrix(self):
+        from handmvnet_tpu.ops.camera import intrinsics_vec_to_matrix
+
+        k = np.asarray(intrinsics_vec_to_matrix(jnp.asarray([600.0, 610.0, 320.0, 240.0])))
+        expect = np.array([[600, 0, 320], [0, 610, 240], [0, 0, 1]], dtype=np.float32)
+        np.testing.assert_array_equal(k, expect)

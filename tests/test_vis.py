@@ -30,6 +30,7 @@ class TestVisualizer:
         assert vis.visualize_bboxes().ndim == 3
         assert vis.visualize_combined_heatmaps().ndim == 3
         assert vis.visualize_projected_joints_2d_on_full_image().ndim == 3
+        assert vis.visualize_projected_vertices_2d_on_full_image().ndim == 3
         out = vis.visualize_3d_joints(save_path=str(tmp_path / "j3d.png"))
         assert (tmp_path / "j3d.png").exists()
 
