@@ -59,7 +59,7 @@ def main() -> None:
     parser.add_argument("--batch", type=int, default=1)
     parser.add_argument("--warmup", type=int, default=100)
     parser.add_argument("--iters", type=int, default=1000)
-    parser.add_argument("--chunk", type=int, default=64, help="frames per host sync")
+    parser.add_argument("--chunk", type=int, default=200, help="frames per host sync")
     parser.add_argument("--dtype", choices=["float32", "bfloat16"], default="bfloat16")
     parser.add_argument("--no-vertices", action="store_true",
                         help="skip the MANO IK + LBS mesh stage")
