@@ -19,22 +19,39 @@ from handmvnet_tpu.ops.camera import reproject_to_views
 from handmvnet_tpu.ops.geometry import joints_img_to_crop, mask_joints
 
 
-def mse_loss(preds: jax.Array, labels: jax.Array, weight: float = 1.0) -> jax.Array:
+def _broadcast_stacked(preds: jax.Array, labels: jax.Array, stacked_dim: int | None):
+    """Optional label broadcast over a stacked prediction axis (the
+    reference's stacked_dim kwarg, loss.py:7-9: e.g. per-hourglass-stack
+    heatmap supervision)."""
+    if stacked_dim is not None:
+        labels = jnp.broadcast_to(jnp.expand_dims(labels, stacked_dim), preds.shape)
+    return labels
+
+
+def mse_loss(preds: jax.Array, labels: jax.Array, weight: float = 1.0,
+             stacked_dim: int | None = None) -> jax.Array:
+    labels = _broadcast_stacked(preds, labels, stacked_dim)
     return jnp.mean((preds - labels) ** 2) * weight
 
 
-def l1_loss(preds: jax.Array, labels: jax.Array, weight: float = 1.0) -> jax.Array:
+def l1_loss(preds: jax.Array, labels: jax.Array, weight: float = 1.0,
+            stacked_dim: int | None = None) -> jax.Array:
+    labels = _broadcast_stacked(preds, labels, stacked_dim)
     return jnp.mean(jnp.abs(preds - labels)) * weight
 
 
-def smooth_l1_loss(preds: jax.Array, labels: jax.Array, weight: float = 1.0, beta: float = 1.0) -> jax.Array:
+def smooth_l1_loss(preds: jax.Array, labels: jax.Array, weight: float = 1.0,
+                   beta: float = 1.0, stacked_dim: int | None = None) -> jax.Array:
+    labels = _broadcast_stacked(preds, labels, stacked_dim)
     diff = jnp.abs(preds - labels)
     loss = jnp.where(diff < beta, 0.5 * diff * diff / beta, diff - 0.5 * beta)
     return jnp.mean(loss) * weight
 
 
-def bce_loss(logits: jax.Array, labels: jax.Array, weight: float = 1.0) -> jax.Array:
+def bce_loss(logits: jax.Array, labels: jax.Array, weight: float = 1.0,
+             stacked_dim: int | None = None) -> jax.Array:
     """sigmoid + BCE like the reference's PoseLoss.bce_loss (loss.py:26-32)."""
+    labels = _broadcast_stacked(logits, labels, stacked_dim)
     p = jax.nn.log_sigmoid(logits)
     not_p = jax.nn.log_sigmoid(-logits)
     return -jnp.mean(labels * p + (1.0 - labels) * not_p) * weight

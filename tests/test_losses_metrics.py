@@ -136,3 +136,15 @@ class TestLossAssembly:
         losses = handmvnet_loss(out, labels, weights)
         assert "g2d_loss" not in losses
         assert float(losses["heatmap_loss"]) == 0.0
+
+
+class TestStackedDim:
+    def test_stacked_labels_broadcast(self, rng):
+        """stacked_dim parity: per-stack supervision against one label set
+        (reference loss.py:7-9)."""
+        labels = rng.normal(size=(2, 21, 32, 32)).astype(np.float32)
+        preds = rng.normal(size=(2, 4, 21, 32, 32)).astype(np.float32)
+        ours = float(L.mse_loss(jnp.asarray(preds), jnp.asarray(labels), 2.0, stacked_dim=1))
+        oracle = float(PoseLoss.mse_loss(torch.from_numpy(preds), torch.from_numpy(labels),
+                                         stacked_dim=1, weight=2.0))
+        np.testing.assert_allclose(ours, oracle, rtol=1e-4)  # fp32 mean over 5.4M elems
