@@ -14,3 +14,28 @@ reference: src/eval_fps.py:84-94).
 """
 
 __version__ = "0.1.0"
+
+# Convenience surface: `from handmvnet_tpu import Config, HandMvNet, ...`
+from handmvnet_tpu.config import (  # noqa: E402, F401
+    Config,
+    DataConfig,
+    LossWeights,
+    ModelConfig,
+    TrainConfig,
+)
+
+
+def __getattr__(name):  # lazy heavy imports (jax/flax) on first access
+    if name == "HandMvNet":
+        from handmvnet_tpu.models import HandMvNet
+
+        return HandMvNet
+    if name == "ManoLayer":
+        from handmvnet_tpu.models.mano import ManoLayer
+
+        return ManoLayer
+    if name == "HandPoseVisualizer":
+        from handmvnet_tpu.vis import HandPoseVisualizer
+
+        return HandPoseVisualizer
+    raise AttributeError(name)

@@ -129,3 +129,21 @@ class TestTrainStep:
         final = float(losses["loss"])
         assert np.isfinite(final)
         assert final < 0.7 * losses0, (losses0, final)
+
+    def test_bf16_compute_dtype(self):
+        """compute_dtype=bfloat16 trains: bf16 activations, fp32 losses."""
+        import dataclasses
+
+        cfg = tiny_cfg()
+        cfg = cfg.replace(train=dataclasses.replace(cfg.train, compute_dtype="bfloat16"))
+        model = tiny_model(cfg)
+        mesh = make_mesh(num_devices=1)
+        batch = synthetic_batch(batch_size=2, num_views=2, image_size=64,
+                                heatmap_size=8, seed=12)
+        tx = make_optimizer(cfg, steps_per_epoch=10)
+        state = create_train_state(model, cfg, jax.random.PRNGKey(0), batch, tx=tx)
+        step = make_train_step(model, cfg, tx, mesh, accum_steps=1)
+        state, losses = step(state, batch, jax.random.PRNGKey(3))
+        assert np.isfinite(float(losses["loss"]))
+        # params stay fp32
+        assert state.params["joints_decoder"]["joints_gcn1"]["weight"].dtype == jnp.float32
