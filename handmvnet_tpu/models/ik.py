@@ -52,7 +52,8 @@ def rodrigues(axis: jax.Array, angle: jax.Array) -> jax.Array:
     return jnp.stack([row0, row1, row2], axis=-2)
 
 
-def _global_orientation(template: jax.Array, target: jax.Array) -> jax.Array:
+def _global_orientation(template: jax.Array, target: jax.Array,
+                        polish_sweeps: int = 2) -> jax.Array:
     """R0 aligning the template's five root bones to the target's.
 
     template: [21, 3]; target: [B, 21, 3]. Returns [B, 3, 3].
@@ -63,7 +64,7 @@ def _global_orientation(template: jax.Array, target: jax.Array) -> jax.Array:
     t_bones = (template[kids] - template[0]).T  # [3, 5]
     p_bones = jnp.swapaxes(target[:, kids] - target[:, :1], -1, -2)  # [B, 3, 5]
     h = jnp.einsum("in,bjn->bij", t_bones, p_bones)  # T_0 @ P_0^T
-    u, s, vt = svd3x3(h)
+    u, s, vt = svd3x3(h, polish_sweeps=polish_sweeps)
     v = jnp.swapaxes(vt, -1, -2)
     r0 = jnp.einsum("bij,bkj->bik", v, u)  # V @ U^T
     det = jnp.linalg.det(r0)
@@ -74,7 +75,8 @@ def _global_orientation(template: jax.Array, target: jax.Array) -> jax.Array:
     return jnp.einsum("bij,bkj->bik", v_f, u)
 
 
-def adaptive_ik(template: jax.Array, target: jax.Array) -> jax.Array:
+def adaptive_ik(template: jax.Array, target: jax.Array,
+                polish_sweeps: int = 2) -> jax.Array:
     """Compute MANO pose rotations from a joint template and predictions.
 
     Args:
@@ -88,7 +90,7 @@ def adaptive_ik(template: jax.Array, target: jax.Array) -> jax.Array:
     """
     b = target.shape[0]
     dtype = target.dtype
-    r0 = _global_orientation(template, target)
+    r0 = _global_orientation(template, target, polish_sweeps)
 
     roots = jnp.asarray(_FINGER_ROOTS)
     # per-finger chain state, vectorized over (B, 5)

@@ -43,7 +43,9 @@ def similarity_align(s1: jax.Array, s2: jax.Array) -> jax.Array:
     return jnp.swapaxes(s1_hat, -1, -2)
 
 
-def rigid_align_3pt(a: jax.Array, b: jax.Array) -> tuple[jax.Array, jax.Array]:
+def rigid_align_3pt(
+    a: jax.Array, b: jax.Array, polish_sweeps: int = 2
+) -> tuple[jax.Array, jax.Array]:
     """Optimal rigid (R, t) mapping column point-set a onto b.
 
     a, b: [..., 3, N] (points as columns, like the reference).
@@ -55,7 +57,7 @@ def rigid_align_3pt(a: jax.Array, b: jax.Array) -> tuple[jax.Array, jax.Array]:
     am = a - ca
     bm = b - cb
     h = jnp.einsum("...in,...jn->...ij", am, bm)
-    u, _, vt = svd3x3(h)
+    u, _, vt = svd3x3(h, polish_sweeps=polish_sweeps)
     r = jnp.einsum("...ji,...kj->...ik", vt, u)  # Vt^T @ U^T
     det = jnp.linalg.det(r)
     vt_fixed = vt.at[..., 2, :].multiply(jnp.where(det < 0, -1.0, 1.0)[..., None])

@@ -119,11 +119,11 @@ def symeig3x3(a: jax.Array, polish_sweeps: int = 2):
     return w, v
 
 
-def svd3x3(h: jax.Array):
+def svd3x3(h: jax.Array, polish_sweeps: int = 2):
     """SVD of [..., 3, 3]: returns (u, s, vt) with s descending,
     h = u @ diag(s) @ vt. Matches jnp.linalg.svd up to column-sign gauge."""
     hth = jnp.einsum("...ji,...jk->...ik", h, h)  # H^T H (symmetric PSD)
-    w, v = symeig3x3(hth)
+    w, v = symeig3x3(hth, polish_sweeps=polish_sweeps)
     s = jnp.sqrt(jnp.maximum(w, 0.0))
     u_raw = jnp.einsum("...ij,...jk->...ik", h, v)  # H V = U S
     # normalize columns; for (near-)zero singular values fall back to an
