@@ -24,6 +24,7 @@ import jax
 import jax.numpy as jnp
 
 from handmvnet_tpu.constants import ID2ROT
+from handmvnet_tpu.ops.small_linalg import det3, mm, mmt, mtv, mv
 from handmvnet_tpu.ops.svd3 import svd3x3
 
 _FINGER_ROOTS = (1, 5, 9, 13, 17)
@@ -66,13 +67,13 @@ def _global_orientation(template: jax.Array, target: jax.Array,
     h = jnp.einsum("in,bjn->bij", t_bones, p_bones)  # T_0 @ P_0^T
     u, s, vt = svd3x3(h, polish_sweeps=polish_sweeps)
     v = jnp.swapaxes(vt, -1, -2)
-    r0 = jnp.einsum("bij,bkj->bik", v, u)  # V @ U^T
-    det = jnp.linalg.det(r0)
+    r0 = mmt(v, u)  # V @ U^T
+    det = det3(r0)
     # reference: only if det ~ -1 AND some singular value ~ 0, flip V[:, 2]
     tiny_sv = jnp.any(jnp.abs(s) < 1e-4, axis=-1)
     flip = (jnp.abs(det + 1.0) < 1e-6) & tiny_sv
     v_f = v.at[..., :, 2].multiply(jnp.where(flip, -1.0, 1.0)[..., None])
-    return jnp.einsum("bij,bkj->bik", v_f, u)
+    return mmt(v_f, u)
 
 
 def adaptive_ik(template: jax.Array, target: jax.Array,
@@ -106,9 +107,9 @@ def adaptive_ik(template: jax.Array, target: jax.Array,
         t_pa_pa = template[pa_pa_ids]
         t_k = template[k_ids]
         # q[pa] = R[pa] @ (T[pa] - T[pa_pa]) + q[pa_pa]
-        q_pa = jnp.einsum("bfij,fj->bfi", r_pa, (t_pa - t_pa_pa).astype(dtype)) + q_pa_pa
+        q_pa = mv(r_pa, jnp.broadcast_to((t_pa - t_pa_pa).astype(dtype), q_pa_pa.shape)) + q_pa_pa
         # delta in the parent's local frame (orthonormal: inverse == transpose)
-        delta_p = jnp.einsum("bfji,bfj->bfi", r_pa, target[:, k_ids] - q_pa)
+        delta_p = mtv(r_pa, target[:, k_ids] - q_pa)
         delta_t = (t_k - t_pa).astype(dtype)  # [5, 3]
         axis = jnp.cross(jnp.broadcast_to(delta_t, delta_p.shape), delta_p)
         norm_t = jnp.linalg.norm(delta_t, axis=-1) + 1e-8  # [5]
@@ -117,15 +118,15 @@ def adaptive_ik(template: jax.Array, target: jax.Array,
         alpha = jnp.arccos(jnp.clip(cos_a, -1.0, 1.0))
         d_sw = rodrigues(axis, alpha)  # [B, 5, 3, 3]; twist = 0 (reference D_tw = I)
         locals_per_level.append(d_sw)
-        r_pa = jnp.einsum("bfij,bfjk->bfik", r_pa, d_sw)
+        r_pa = mm(r_pa, d_sw)
         q_pa_pa = q_pa
         pa_pa_ids = pa_ids
         pa_ids = k_ids
 
-    # scatter finger-local rotations into the 16 MANO pose slots
-    pose = jnp.zeros((b, 16, 3, 3), dtype)
-    pose = pose.at[:, 0].set(r0)
-    for level_idx, level in enumerate(_LEVELS):
-        slots = np.asarray([ID2ROT[k] for k in level])
-        pose = pose.at[:, slots].set(locals_per_level[level_idx])
-    return pose
+    # assemble the 16 MANO pose slots: concat in computation order, then one
+    # static-permutation gather (cheaper than four scatters)
+    stacked = jnp.concatenate([r0[:, None]] + locals_per_level, axis=1)  # [B, 16, 3, 3]
+    # stacked order: [root] + level joints; invert ID2ROT to find each slot
+    order = [0] + [ID2ROT[k] for level in _LEVELS for k in level]
+    inverse = np.argsort(np.asarray(order))
+    return stacked[:, inverse]

@@ -31,6 +31,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from handmvnet_tpu import constants
+from handmvnet_tpu.ops.small_linalg import mm, mv
 
 # MANO skeletal joint parents (wrist, then index/middle/pinky/ring/thumb chains)
 MANO_PARENTS = (-1, 0, 1, 2, 0, 4, 5, 0, 7, 8, 0, 10, 11, 0, 13, 14)
@@ -237,24 +238,25 @@ class ManoLayer:
         locals_tf = make_tf(pose_rotmats, rel)  # [B, 16, 4, 4]
 
         levels = ((1, 4, 7, 10, 13), (2, 5, 8, 11, 14), (3, 6, 9, 12, 15))
-        world = jnp.zeros((b, 16, 4, 4), dtype).at[:, 0].set(locals_tf[:, 0])
         parent_tf = jnp.broadcast_to(locals_tf[:, 0:1], (b, 5, 4, 4))
+        level_tfs = [locals_tf[:, 0:1]]
         for level in levels:
             ids = jnp.asarray(level)
-            parent_tf = jnp.einsum("bfij,bfjk->bfik", parent_tf, locals_tf[:, ids])
-            world = world.at[:, ids].set(parent_tf)
+            parent_tf = mm(parent_tf, locals_tf[:, ids])
+            level_tfs.append(parent_tf)
+        # concat in traversal order, then one static-permutation gather
+        stacked = jnp.concatenate(level_tfs, axis=1)  # [B, 16, 4, 4]
+        order = [0] + [k for level in levels for k in level]
+        world = stacked[:, np.argsort(np.asarray(order))]
 
         posed_joints = world[:, :, :3, 3]
         # remove the rest-pose joint offset so LBS maps rest verts correctly
-        correction = jnp.einsum("bkij,bkj->bki", world[:, :, :3, :3], joints)
+        correction = mv(world[:, :, :3, :3], joints)
         world_adj = world.at[:, :, :3, 3].add(-correction)
 
         wts = jnp.asarray(m.lbs_weights, dtype)
         vert_tf = jnp.einsum("vk,bkij->bvij", wts, world_adj)  # [B, 778, 4, 4]
-        verts = (
-            jnp.einsum("bvij,bvj->bvi", vert_tf[:, :, :3, :3], v_posed)
-            + vert_tf[:, :, :3, 3]
-        )
+        verts = mv(vert_tf[:, :, :3, :3], v_posed) + vert_tf[:, :, :3, 3]
 
         tips = verts[:, jnp.asarray(constants.MANO_TIP_VERT_IDS), :]
         joints21 = jnp.concatenate([posed_joints, tips], axis=1)

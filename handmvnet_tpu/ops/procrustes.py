@@ -13,6 +13,7 @@ import jax
 import jax.numpy as jnp
 
 from handmvnet_tpu.ops.svd3 import svd3x3
+from handmvnet_tpu.ops.small_linalg import det3, mm, mmt, mtm
 
 
 def similarity_align(s1: jax.Array, s2: jax.Array) -> jax.Array:
@@ -56,11 +57,11 @@ def rigid_align_3pt(
     cb = b.mean(axis=-1, keepdims=True)
     am = a - ca
     bm = b - cb
-    h = jnp.einsum("...in,...jn->...ij", am, bm)
+    h = mmt(am, bm)  # Am @ Bm^T over point columns
     u, _, vt = svd3x3(h, polish_sweeps=polish_sweeps)
-    r = jnp.einsum("...ji,...kj->...ik", vt, u)  # Vt^T @ U^T
-    det = jnp.linalg.det(r)
+    r = mtm(vt, jnp.swapaxes(u, -1, -2))  # Vt^T @ U^T
+    det = det3(r)
     vt_fixed = vt.at[..., 2, :].multiply(jnp.where(det < 0, -1.0, 1.0)[..., None])
-    r = jnp.einsum("...ji,...kj->...ik", vt_fixed, u)
-    t = -jnp.einsum("...ij,...jk->...ik", r, ca) + cb
+    r = mtm(vt_fixed, jnp.swapaxes(u, -1, -2))
+    t = -mm(r, ca) + cb
     return r, t

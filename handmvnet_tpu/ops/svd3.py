@@ -18,6 +18,8 @@ from __future__ import annotations
 import jax
 import jax.numpy as jnp
 
+from handmvnet_tpu.ops.small_linalg import mtm, mm
+
 
 def _eigvals_sym3x3(a: jax.Array) -> jax.Array:
     """Analytic eigenvalues of symmetric [..., 3, 3], descending (Smith's
@@ -122,10 +124,10 @@ def symeig3x3(a: jax.Array, polish_sweeps: int = 2):
 def svd3x3(h: jax.Array, polish_sweeps: int = 2):
     """SVD of [..., 3, 3]: returns (u, s, vt) with s descending,
     h = u @ diag(s) @ vt. Matches jnp.linalg.svd up to column-sign gauge."""
-    hth = jnp.einsum("...ji,...jk->...ik", h, h)  # H^T H (symmetric PSD)
+    hth = mtm(h, h)  # H^T H (symmetric PSD), fusible broadcast-sum
     w, v = symeig3x3(hth, polish_sweeps=polish_sweeps)
     s = jnp.sqrt(jnp.maximum(w, 0.0))
-    u_raw = jnp.einsum("...ij,...jk->...ik", h, v)  # H V = U S
+    u_raw = mm(h, v)  # H V = U S
     # normalize columns; for (near-)zero singular values fall back to an
     # orthogonal completion via double cross product
     # Gram-Schmidt polish: close singular values leave H V /s columns a few
