@@ -147,3 +147,25 @@ class TestTrainStep:
         assert np.isfinite(float(losses["loss"]))
         # params stay fp32
         assert state.params["joints_decoder"]["joints_gcn1"]["weight"].dtype == jnp.float32
+
+    def test_seed_determinism(self):
+        """Same seed -> bitwise-identical first step (the reference pins
+        seed 42 + deterministic='warn'; XLA gives us exact determinism)."""
+        cfg = tiny_cfg()
+        model = tiny_model(cfg)
+        mesh = make_mesh(num_devices=1)
+        batch = synthetic_batch(batch_size=2, num_views=2, image_size=64,
+                                heatmap_size=8, seed=21)
+        tx = make_optimizer(cfg, steps_per_epoch=10)
+        step = make_train_step(model, cfg, tx, mesh, accum_steps=1)
+
+        results = []
+        for _ in range(2):
+            state = create_train_state(model, cfg, jax.random.PRNGKey(5), batch, tx=tx)
+            state, losses = step(state, batch, jax.random.PRNGKey(9))
+            results.append((
+                float(losses["loss"]),
+                np.asarray(state.params["joints_decoder"]["joints_gcn1"]["weight"]),
+            ))
+        assert results[0][0] == results[1][0]
+        np.testing.assert_array_equal(results[0][1], results[1][1])
