@@ -77,13 +77,16 @@ def _global_orientation(template: jax.Array, target: jax.Array,
 
 
 def adaptive_ik(template: jax.Array, target: jax.Array,
-                polish_sweeps: int = 2) -> jax.Array:
+                polish_sweeps: int = 2, r0: jax.Array | None = None) -> jax.Array:
     """Compute MANO pose rotations from a joint template and predictions.
 
     Args:
       template: [21, 3] flat-hand template joints (same units as target).
       target: [B, 21, 3] predicted joints, already rigidly aligned to the
         template frame.
+      r0: optional precomputed global orientation [B, 3, 3] (callers that
+        already ran the root-bone SVD — e.g. the fused joints->vertices
+        path — pass it in to avoid a second decomposition).
 
     Returns:
       [B, 16, 3, 3] pose rotations (slot 0 = global orientation, slots 1-15
@@ -91,7 +94,8 @@ def adaptive_ik(template: jax.Array, target: jax.Array,
     """
     b = target.shape[0]
     dtype = target.dtype
-    r0 = _global_orientation(template, target, polish_sweeps)
+    if r0 is None:
+        r0 = _global_orientation(template, target, polish_sweeps)
 
     roots = jnp.asarray(_FINGER_ROOTS)
     # per-finger chain state, vectorized over (B, 5)

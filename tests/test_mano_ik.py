@@ -143,3 +143,23 @@ class TestJointsToVertices:
         verts = np.asarray(j2v(jnp.asarray(joints)))
         assert verts.shape == (3, 778, 3)
         assert np.isfinite(verts).all()
+
+
+class TestFusedJ2V:
+    def test_fused_matches_unfused(self, rng):
+        """The batched-SVD path must reproduce the sequential path (the
+        polar-factor identity R0(aligned) = R_align @ R0(raw))."""
+        mano = ManoLayer(synthetic_mano_model())
+        template = mano.joints_template()
+        joints = np.stack([make_hand_like_joints(rng, template, jitter=5.0)
+                           for _ in range(4)])
+        # random rigid transform so alignment is non-trivial
+        q, _ = np.linalg.qr(rng.normal(size=(3, 3)))
+        q *= np.sign(np.linalg.det(q))
+        joints = joints @ q.T + rng.normal(size=3) * 30.0
+
+        fused = jax.jit(joints_to_vertices_fn(mano, fused_svd=True))
+        unfused = jax.jit(joints_to_vertices_fn(mano, fused_svd=False))
+        vf = np.asarray(fused(jnp.asarray(joints, dtype=jnp.float32)))
+        vu = np.asarray(unfused(jnp.asarray(joints, dtype=jnp.float32)))
+        np.testing.assert_allclose(vf, vu, atol=0.1)  # mm
