@@ -37,3 +37,9 @@ from handmvnet_tpu.ops.graph import (  # noqa: F401
     cheb_basis,
 )
 from handmvnet_tpu.ops.resize import resize_bilinear_antialias, crop_resize_normalize  # noqa: F401
+from handmvnet_tpu.ops.svd3 import svd3x3, symeig3x3  # noqa: F401
+from handmvnet_tpu.ops.triangulation import (  # noqa: F401
+    batch_triangulate_dlt,
+    batch_triangulate_dlt_ransac,
+    triangulate_dlt_confident,
+)

@@ -149,6 +149,35 @@ class HandPoseVisualizer:
             panels.append(canvas)
         return _grid(panels)
 
+    def visualize_masks(self, idx: int = 0) -> np.ndarray:
+        """Per-view binary/soft mask grid (reference visualizer's mask
+        stream; shown when a 'mask' key is present in the batch)."""
+        import cv2
+
+        masks = self.batch["mask"][idx]  # [V, h, w] or [V, 1, h, w]
+        if masks.ndim == 4:
+            masks = masks[:, 0] if masks.shape[1] == 1 else masks[..., 0]
+        panels = []
+        for m in masks:
+            norm = (m - m.min()) / (np.ptp(m) + 1e-8)
+            img = (norm * 255).astype(np.uint8)
+            panels.append(cv2.cvtColor(cv2.resize(img, (256, 256)), cv2.COLOR_GRAY2BGR))
+        return _grid(panels)
+
+    def visualize_depths(self, idx: int = 0) -> np.ndarray:
+        """Per-view depth grid with a turbo colormap."""
+        import cv2
+
+        depths = self.batch["depth"][idx]
+        if depths.ndim == 4:
+            depths = depths[:, 0] if depths.shape[1] == 1 else depths[..., 0]
+        panels = []
+        for d in depths:
+            norm = (d - d.min()) / (np.ptp(d) + 1e-8)
+            img = cv2.applyColorMap((norm * 255).astype(np.uint8), cv2.COLORMAP_TURBO)
+            panels.append(cv2.resize(img, (256, 256)))
+        return _grid(panels)
+
     # ----------------------------------------------------------- heatmaps
     def visualize_combined_heatmaps(self, idx: int = 0) -> np.ndarray:
         import cv2

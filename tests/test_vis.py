@@ -31,6 +31,12 @@ class TestVisualizer:
         assert vis.visualize_combined_heatmaps().ndim == 3
         assert vis.visualize_projected_joints_2d_on_full_image().ndim == 3
         assert vis.visualize_projected_vertices_2d_on_full_image().ndim == 3
+        batch2 = dict(batch)
+        batch2["mask"] = np.random.default_rng(2).uniform(size=(1, 3, 32, 32)).astype(np.float32)
+        batch2["depth"] = np.random.default_rng(3).uniform(size=(1, 3, 32, 32)).astype(np.float32)
+        vis2 = HandPoseVisualizer(batch2)
+        assert vis2.visualize_masks().ndim == 3
+        assert vis2.visualize_depths().ndim == 3
         out = vis.visualize_3d_joints(save_path=str(tmp_path / "j3d.png"))
         assert (tmp_path / "j3d.png").exists()
 
