@@ -19,9 +19,20 @@ DATA_AXIS = "data"
 
 
 def make_mesh(num_devices: int = 0, devices=None) -> Mesh:
+    """1-D data mesh over the first `num_devices` devices (all if 0).
+
+    Raises if fewer devices are available than requested — silent truncation
+    would let an 8-way dryrun "pass" on a 1-device mesh.
+    """
     if devices is None:
         devices = jax.devices()
     if num_devices and num_devices > 0:
+        if len(devices) < num_devices:
+            raise ValueError(
+                f"requested a {num_devices}-device mesh but only "
+                f"{len(devices)} devices are available: "
+                f"{[str(d) for d in devices]}"
+            )
         devices = devices[:num_devices]
     return Mesh(np.asarray(devices), axis_names=(DATA_AXIS,))
 

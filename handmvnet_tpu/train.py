@@ -158,6 +158,11 @@ def main(argv=None) -> None:
         device_prepare=make_device_prepare(cfg, False),
     )))
     state = create_train_state(model, cfg, rng, first, tx=tx)
+    # ImageNet backbone init (reference handmvnet.py:43-66) — applied before
+    # resume so a restored checkpoint wins over the pretrained graft
+    from handmvnet_tpu.pretrained import load_pretrained_backbone
+
+    state = load_pretrained_backbone(state, cfg)
     start_epoch = 0
     last_ckpt = out_dir / "checkpoints" / "last"
     if args.resume and last_ckpt.exists():
