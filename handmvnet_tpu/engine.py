@@ -166,6 +166,18 @@ class CheckpointManager:
         self.out_dir.mkdir(parents=True, exist_ok=True)
         self.best_val = float("inf")
         self.best_path: Path | None = None
+        # persist best-so-far so a --resume after preemption doesn't demote
+        # the pre-preemption best checkpoint
+        self._meta_path = self.out_dir / "best.json"
+        if self._meta_path.exists():
+            try:
+                meta = json.loads(self._meta_path.read_text())
+                bp = meta.get("best_path")
+                if bp and Path(bp).exists():
+                    self.best_val = float(meta.get("best_val", float("inf")))
+                    self.best_path = Path(bp)
+            except (ValueError, OSError):  # corrupt meta: start fresh
+                pass
 
     def save(self, state, epoch: int, val_mpjpe: float) -> None:
         from handmvnet_tpu.checkpoint import save_checkpoint
@@ -178,12 +190,30 @@ class CheckpointManager:
             path = self.out_dir / name
             save_checkpoint(path, state)
             self.best_path = path
+            self._meta_path.write_text(
+                json.dumps({"best_val": self.best_val, "best_path": str(path)})
+            )
 
     def restore_best(self, template):
         from handmvnet_tpu.checkpoint import restore_checkpoint
 
         path = self.best_path or (self.out_dir / "last")
         return restore_checkpoint(path, template)
+
+
+def make_vertices_fn(cfg: Config) -> Callable | None:
+    """Jitted joints->MANO-vertices map for MPVPE metrics (reference gates it
+    on `get_vertices`, handmvnet.py:390-408). None when the licensed MANO pkl
+    is absent (with a warning), so training still runs."""
+    try:
+        from handmvnet_tpu.models.joints_to_vertices import joints_to_vertices_fn
+        from handmvnet_tpu.models.mano import ManoLayer, load_mano_model
+
+        mano = ManoLayer(load_mano_model(cfg.data.mano_models_dir))
+        return jax.jit(joints_to_vertices_fn(mano))
+    except (FileNotFoundError, OSError) as e:
+        print(f"[warning] MANO model unavailable ({e}); skipping vertex metrics")
+        return None
 
 
 def evaluate(

@@ -81,14 +81,9 @@ def main(argv=None) -> None:
 
     vertices_fn = None
     if not args.no_vertices:
-        try:
-            from handmvnet_tpu.models.joints_to_vertices import joints_to_vertices_fn
-            from handmvnet_tpu.models.mano import ManoLayer, load_mano_model
+        from handmvnet_tpu.engine import make_vertices_fn
 
-            mano = ManoLayer(load_mano_model(cfg.data.mano_models_dir))
-            vertices_fn = jax.jit(joints_to_vertices_fn(mano))
-        except (FileNotFoundError, OSError) as e:
-            print(f"[warning] MANO model unavailable ({e}); skipping vertex metrics")
+        vertices_fn = make_vertices_fn(cfg)
 
     eval_step = make_eval_step(model, cfg, mesh)
     val = evaluate(eval_step, state, val_loader, cfg, mode="val", vertices_fn=vertices_fn)

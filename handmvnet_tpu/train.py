@@ -98,6 +98,57 @@ def build_dataloaders(cfg: Config, mesh=None):
     return loader("train", True), loader("val", False), loader("test", False)
 
 
+def make_vis_hook(cfg: Config, eval_step, out_dir: Path):
+    """Per-epoch visualization hook (reference handmvnet.py:425-441 +
+    train.py:62-73 dir layout): every `vis_every_n_epochs`, write
+    vis/{mode}/joints2d_{epoch}.png (2D joints on the normalized crops) and,
+    when reprojection is configured, projected_joints2d_{epoch}.png."""
+    vis_dir = out_dir / "vis"
+    for split in ("train", "val", "test"):
+        (vis_dir / split).mkdir(parents=True, exist_ok=True)
+
+    from handmvnet_tpu.ops.camera import reproject_to_views
+    from handmvnet_tpu.ops.geometry import joints_img_to_crop
+
+    @jax.jit
+    def project_crop(joints_cam, root_joint, intrinsic, extrinsic, bboxes):
+        projected = reproject_to_views(
+            joints_cam + root_joint, cfg.root_idx, intrinsic, extrinsic
+        )
+        b, v = projected.shape[:2]
+        return joints_img_to_crop(
+            projected.reshape(b * v, -1, 2), bboxes.reshape(b * v, 4),
+            float(cfg.data.image_size),
+        ).reshape(b, v, -1, 2)
+
+    def hook(state, batch, epoch: int, mode: str) -> None:
+        if (epoch + 1) % max(1, cfg.train.vis_every_n_epochs):
+            return
+        import cv2
+
+        from handmvnet_tpu.vis.visualizer import HandPoseVisualizer
+
+        out = eval_step(state, batch)
+        img = HandPoseVisualizer.plot_images_with_joints(
+            np.asarray(batch["rgb"][0]), np.asarray(out["joints_crop_img"][0])
+        )
+        cv2.imwrite(str(vis_dir / mode / f"joints2d_{epoch}.png"), img)
+        if cfg.train.loss_weights.g2d is not None and "extrinsic" in batch:
+            proj = project_crop(
+                out["joints_cam"],
+                jnp.asarray(batch["root_joint"]) / 1000.0,
+                batch["intrinsic"], batch["extrinsic"], batch["bboxes"],
+            )
+            img = HandPoseVisualizer.plot_images_with_joints(
+                np.asarray(batch["rgb"][0]), np.asarray(proj[0])
+            )
+            cv2.imwrite(
+                str(vis_dir / mode / f"projected_joints2d_{epoch}.png"), img
+            )
+
+    return hook
+
+
 def main(argv=None) -> None:
     parser = argparse.ArgumentParser()
     parser.add_argument("--config", required=True)
@@ -132,7 +183,18 @@ def main(argv=None) -> None:
     rng = jax.random.PRNGKey(seed)
     np.random.seed(seed)
 
-    mesh = make_mesh(num_devices=args.num_devices or cfg.train.num_devices)
+    # the global batch is sharded over "data": use the largest divisor of the
+    # batch size not exceeding the request (same rule as eval.py) — a batch of
+    # 16 on 3 devices would otherwise die inside shard_map
+    n_avail = len(jax.devices())
+    requested = args.num_devices or cfg.train.num_devices or n_avail
+    usable = max(1, min(requested, n_avail, cfg.data.batch_size))
+    while cfg.data.batch_size % usable:
+        usable -= 1
+    if usable != requested:
+        print(f"[warning] shrinking mesh {requested} -> {usable} devices so it "
+              f"divides batch_size={cfg.data.batch_size}")
+    mesh = make_mesh(num_devices=usable)
     n_dev = mesh.devices.size
     print(f"devices: {[str(d) for d in mesh.devices.flat]}")
 
@@ -169,6 +231,11 @@ def main(argv=None) -> None:
         from handmvnet_tpu.checkpoint import restore_checkpoint
 
         state = restore_checkpoint(last_ckpt, state)
+        # restored arrays are committed to one device; replicate over the
+        # mesh or the first sharded train step dies on a device mismatch
+        from handmvnet_tpu.parallel.mesh import replicated
+
+        state = jax.device_put(state, replicated(mesh))
         start_epoch = int(state.step) // max(1, steps_per_epoch)
         print(f"resumed from {last_ckpt} at step {int(state.step)} (epoch {start_epoch})")
     param_count = sum(np.prod(p.shape) for p in jax.tree.leaves(state.params))
@@ -178,6 +245,14 @@ def main(argv=None) -> None:
     eval_step = make_eval_step(model, cfg, mesh)
     sharding = data_sharding(mesh)
     ckpt = CheckpointManager(out_dir / "checkpoints")
+    vis_hook = make_vis_hook(cfg, eval_step, out_dir)
+    # vertex metrics in validation when configured (reference
+    # handmvnet.py:390-408 gates on get_vertices)
+    vertices_fn = None
+    if cfg.model.get_vertices:
+        from handmvnet_tpu.engine import make_vertices_fn
+
+        vertices_fn = make_vertices_fn(cfg)
 
     def shard(batch):
         return {k: jax.device_put(v, sharding) for k, v in batch.items()}
@@ -196,21 +271,30 @@ def main(argv=None) -> None:
     for epoch in range(start_epoch, cfg.train.epochs):
         t0 = time.time()
         avg = MetricAverager()
+        last_batch = None
         for i, batch in enumerate(train_loader):
-            state, losses = train_step(state, shard(batch), jax.random.fold_in(rng, epoch * 100003 + i))
+            last_batch = shard(batch)
+            state, losses = train_step(state, last_batch, jax.random.fold_in(rng, epoch * 100003 + i))
             avg.update({k: float(v) for k, v in losses.items()})
+            if preempted["flag"]:
+                # step-granular preemption: a SLURM grace window (30-60 s)
+                # must not lose the whole epoch
+                from handmvnet_tpu.checkpoint import save_checkpoint
+
+                save_checkpoint(out_dir / "checkpoints" / "last", state)
+                print(f"SIGTERM received — checkpointed at epoch {epoch} "
+                      f"step {int(state.step)}, exiting")
+                return
         train_metrics = avg.result()
 
-        if preempted["flag"]:
-            from handmvnet_tpu.checkpoint import save_checkpoint
-
-            save_checkpoint(out_dir / "checkpoints" / "last", state)
-            print(f"SIGTERM received — checkpointed at epoch {epoch}, exiting")
-            return
-
-        val_metrics = evaluate(eval_step, state, val_loader, cfg, mode="val")
+        val_metrics = evaluate(eval_step, state, val_loader, cfg, mode="val",
+                               vertices_fn=vertices_fn)
         val_mpjpe = val_metrics.get("val_mpjpe", float("inf"))
         ckpt.save(state, epoch, val_mpjpe)
+        if last_batch is not None:
+            vis_hook(state, last_batch, epoch, "train")
+        if (epoch + 1) % max(1, cfg.train.vis_every_n_epochs) == 0:
+            vis_hook(state, shard(next(iter(val_loader))), epoch, "val")
         logger.log(
             {
                 "epoch": epoch,
@@ -222,7 +306,8 @@ def main(argv=None) -> None:
 
     # post-fit: validate best checkpoint -> val.json (reference train.py:93-104)
     best_state = ckpt.restore_best(state)
-    val = evaluate(eval_step, best_state, val_loader, cfg, mode="val")
+    val = evaluate(eval_step, best_state, val_loader, cfg, mode="val",
+                   vertices_fn=vertices_fn)
     write_results_json(out_dir / "val.json", val)
     print("Validation result:", {k: v for k, v in val.items() if "pck" not in k})
 

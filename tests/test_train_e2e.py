@@ -42,10 +42,11 @@ def test_train_driver_end_to_end(tmp_path, monkeypatch):
             "backbone": "resnet", "backbone_type": "50_paper",
             "backbone_early_return": 3, "backbone_channels": [1024],
             "backbone_pretrained": False,
+            "get_vertices": True,
         },
         "train": {
             "epochs": 1, "accumulate_batch": 1, "mask_invisible_joints": True,
-            "root_relative": True,
+            "root_relative": True, "vis_every_n_epochs": 1,
             "loss_weights": {"heatmap": 10.0, "joints_2d": 1.0, "joints_3d": 1000,
                              "g2d": 1.0, "p2d": 0.5},
             "lr": 0.0001,
@@ -55,6 +56,15 @@ def test_train_driver_end_to_end(tmp_path, monkeypatch):
     }
     cfg_path = tmp_path / "cfg.yaml"
     cfg_path.write_text(yaml.safe_dump(cfg))
+
+    # get_vertices without the licensed MANO pkl: route the loader to the
+    # synthetic stand-in so vertex metrics are exercised end to end
+    from handmvnet_tpu.models import mano as mano_mod
+
+    monkeypatch.setattr(
+        mano_mod, "load_mano_model",
+        lambda d: mano_mod.synthetic_mano_model(),
+    )
 
     train_mod.main(["--config", str(cfg_path), "--num-devices", "2"])
 
@@ -71,3 +81,48 @@ def test_train_driver_end_to_end(tmp_path, monkeypatch):
 
     val = json.loads((out / "val.json").read_text())
     assert "val_mpjpe" in val[0] and val[0]["val_mpjpe"] > 0
+
+    # vertex metrics flow through validation when get_vertices is on
+    # (reference handmvnet.py:390-408)
+    assert "val_mpvpe" in val[0] and val[0]["val_mpvpe"] > 0
+    assert "val_pa_mpvpe" in records[0]
+
+    # vis hook (reference handmvnet.py:425-441): vis_every_n_epochs=1 must
+    # produce non-trivial 2D-joint overlays for train and val
+    for mode in ("train", "val"):
+        png = out / "vis" / mode / "joints2d_0.png"
+        assert png.exists(), png
+        assert png.stat().st_size > 1000
+        proj = out / "vis" / mode / "projected_joints2d_0.png"
+        assert proj.exists(), proj
+
+
+@pytest.mark.slow
+def test_best_val_survives_resume(tmp_path):
+    """CheckpointManager must not demote the pre-preemption best checkpoint
+    after --resume (round-1 weak #4)."""
+    import jax.numpy as jnp
+
+    from handmvnet_tpu.engine import CheckpointManager
+    from handmvnet_tpu.parallel.train_step import TrainState
+
+    def state(v):
+        return TrainState(step=jnp.asarray(v, jnp.int32),
+                          params={"w": jnp.full((2,), float(v))},
+                          batch_stats={}, opt_state=())
+
+    m1 = CheckpointManager(tmp_path / "ck")
+    m1.save(state(1), epoch=0, val_mpjpe=5.0)
+    best = m1.best_path
+    assert best is not None and "5.000" in best.name
+
+    # simulated resume: a fresh manager over the same directory
+    m2 = CheckpointManager(tmp_path / "ck")
+    assert m2.best_val == 5.0 and m2.best_path == best
+    m2.save(state(2), epoch=1, val_mpjpe=7.0)  # worse: must NOT become best
+    assert m2.best_path == best
+    m2.save(state(3), epoch=2, val_mpjpe=4.0)  # better: must take over
+    assert m2.best_path != best and "4.000" in m2.best_path.name
+
+    restored = m2.restore_best(state(0))
+    assert float(restored.params["w"][0]) == 3.0
