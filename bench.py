@@ -52,39 +52,20 @@ def _random_variables(model, rng_seed, *example_args):
     return jax.tree.unflatten(treedef, leaves)
 
 
-def main() -> None:
-    parser = argparse.ArgumentParser()
-    parser.add_argument("--config", default="configs/release/HO3D_HandMvNet.yaml")
-    parser.add_argument("--views", type=int, default=8)
-    parser.add_argument("--batch", type=int, default=1)
-    parser.add_argument("--warmup", type=int, default=100)
-    parser.add_argument("--iters", type=int, default=1000)
-    parser.add_argument("--chunk", type=int, default=200, help="frames per host sync")
-    parser.add_argument("--dtype", choices=["float32", "bfloat16"], default="bfloat16")
-    parser.add_argument("--no-vertices", action="store_true",
-                        help="skip the MANO IK + LBS mesh stage")
-    parser.add_argument("--verbose", action="store_true")
-    args = parser.parse_args()
-
-    import dataclasses
-
+def run_protocol(cfg, args, dtype_name: str) -> tuple[float, float]:
+    """One full timed protocol at the given dtype. Returns
+    (best-of-3 chunked-sync FPS, fully-blocking p50 latency in ms)."""
     import jax
     import jax.numpy as jnp
 
-    from handmvnet_tpu.config import Config
     from handmvnet_tpu.data.synthetic import synthetic_batch
     from handmvnet_tpu.models import HandMvNet
 
-    cfg = Config.from_yaml(args.config)
-    cfg = cfg.replace(
-        model=dataclasses.replace(cfg.model, selected_views=tuple(range(args.views)))
-    )
     model = HandMvNet(cfg=cfg.model)
-
     batch = synthetic_batch(
         batch_size=args.batch, num_views=args.views, with_heatmaps=False, seed=0
     )
-    dtype = jnp.bfloat16 if args.dtype == "bfloat16" else jnp.float32
+    dtype = jnp.bfloat16 if dtype_name == "bfloat16" else jnp.float32
     rgb = jnp.asarray(batch["rgb"], dtype)
     bboxes = jnp.asarray(batch["bboxes"])
     intr = jnp.asarray(batch["intrinsic"])
@@ -140,27 +121,62 @@ def main() -> None:
 
     total = min(measure() for _ in range(3))
     fps = args.iters * args.batch / total
+    p50_ms = float(np.percentile(lat, 50) * 1e3)
     if args.verbose:
         print(
-            f"# device={jax.devices()[0]} dtype={args.dtype} views={args.views} "
+            f"# device={jax.devices()[0]} dtype={dtype_name} views={args.views} "
             f"vertices={with_vertices} chunk={args.chunk} "
             f"throughput={total/args.iters*1e3:.3f}ms/frame "
-            f"blocking_p50={np.percentile(lat, 50)*1e3:.3f}ms",
+            f"blocking_p50={p50_ms:.3f}ms",
             file=sys.stderr,
         )
+    return fps, p50_ms
 
-    print(
-        json.dumps(
-            {
-                "metric": f"handmvnet_{cfg.model.backbone}{cfg.model.backbone_type}"
-                f"_fps_b{args.batch}_v{args.views}_{args.dtype}"
-                + ("" if with_vertices else "_novtx"),
-                "value": round(fps, 2),
-                "unit": "frames/sec",
-                "vs_baseline": round(fps / 48.0, 3),
-            }
-        )
+
+def main() -> None:
+    parser = argparse.ArgumentParser()
+    parser.add_argument("--config", default="configs/release/HO3D_HandMvNet.yaml")
+    parser.add_argument("--views", type=int, default=8)
+    parser.add_argument("--batch", type=int, default=1)
+    parser.add_argument("--warmup", type=int, default=100)
+    parser.add_argument("--iters", type=int, default=1000)
+    parser.add_argument("--chunk", type=int, default=200, help="frames per host sync")
+    parser.add_argument("--dtype", choices=["float32", "bfloat16"], default="bfloat16")
+    parser.add_argument("--no-vertices", action="store_true",
+                        help="skip the MANO IK + LBS mesh stage")
+    parser.add_argument("--skip-fp32", action="store_true",
+                        help="headline dtype only (skip the fp32 datapoint)")
+    parser.add_argument("--verbose", action="store_true")
+    args = parser.parse_args()
+
+    import dataclasses
+
+    from handmvnet_tpu.config import Config
+
+    cfg = Config.from_yaml(args.config)
+    cfg = cfg.replace(
+        model=dataclasses.replace(cfg.model, selected_views=tuple(range(args.views)))
     )
+
+    fps, p50_ms = run_protocol(cfg, args, args.dtype)
+    record = {
+        "metric": f"handmvnet_{cfg.model.backbone}{cfg.model.backbone_type}"
+        f"_fps_b{args.batch}_v{args.views}_{args.dtype}"
+        + ("" if not args.no_vertices else "_novtx"),
+        "value": round(fps, 2),
+        "unit": "frames/sec",
+        "vs_baseline": round(fps / 48.0, 3),
+        "blocking_p50_ms": round(p50_ms, 2),
+    }
+    # fp32 datapoint: the parity story is fp32, so show the target is met in
+    # the parity dtype too (bf16 stays the headline)
+    if args.dtype == "bfloat16" and not args.skip_fp32:
+        fps32, p50_32 = run_protocol(cfg, args, "float32")
+        record["fp32_fps"] = round(fps32, 2)
+        record["fp32_vs_baseline"] = round(fps32 / 48.0, 3)
+        record["fp32_blocking_p50_ms"] = round(p50_32, 2)
+
+    print(json.dumps(record))
 
 
 if __name__ == "__main__":

@@ -55,7 +55,13 @@ def preprocess_views(
 
     if augment:
         assert rng is not None
-        crops = augment_batch(crops, rng)
+        # crop-space scaling: the reference augments the un-resized crop
+        # (ho3d.py:145-148), so blur/occlusion sizes are relative to the
+        # bbox side, not the raster
+        sides = jnp.maximum(
+            (flat_box[:, 2] - flat_box[:, 0]).astype(jnp.float32), 1.0
+        )
+        crops = augment_batch(crops, rng, crop_scales=image_size / sides)
 
     mean = jnp.asarray(IMAGENET_MEAN, jnp.float32)
     std = jnp.asarray(IMAGENET_STD, jnp.float32)

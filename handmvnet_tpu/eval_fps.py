@@ -69,8 +69,11 @@ def main(argv=None) -> None:
     print("-------------------------------------------------")
 
     # delegate the timed loop to bench.py for a single source of truth
+    # (--config must be forwarded or an HRNet run would silently time the
+    # default ResNet model)
     sys.argv = [
         "bench.py",
+        "--config", args.config,
         "--views", str(args.views),
         "--iters", str(args.iters),
         "--warmup", str(args.warmup),

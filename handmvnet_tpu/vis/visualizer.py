@@ -84,9 +84,17 @@ class HandPoseVisualizer:
     framework ({rgb, full_rgb, joints_crop_img, heatmap, bboxes, ...}); all
     methods operate on sample `idx` and return BGR uint8 canvases."""
 
-    def __init__(self, batch: Mapping[str, np.ndarray]):
+    def __init__(self, batch: Mapping[str, np.ndarray], faces: np.ndarray | None = None):
         self.batch = {k: np.asarray(v) for k, v in batch.items()
                       if not isinstance(v, (list, str))}
+        if faces is None:
+            # MANO topology (wrist-closed, reference vis/utils.py:23-46);
+            # the synthetic stand-in shares the real vertex count
+            from handmvnet_tpu.constants import close_mano_faces
+            from handmvnet_tpu.models.mano import synthetic_mano_model
+
+            faces = close_mano_faces(synthetic_mano_model().faces)
+        self.faces = np.asarray(faces, np.int32)
 
     # ------------------------------------------------------------- images
     def _views(self, key: str, idx: int) -> np.ndarray:
@@ -275,6 +283,146 @@ class HandPoseVisualizer:
             plt.close(fig)
             return save_path
         return fig
+
+    def _verts_in_view_mm(self, idx: int) -> np.ndarray:
+        """Absolute mesh vertices per view in camera space, millimeters:
+        root-frame (vertices + root) moved through inv(T_v) @ T_root."""
+        verts = (self.batch["vertices"][idx] + self.batch["root_joint"][idx]) / 1000.0
+        extr = self.batch["extrinsic"][idx]  # [V, 4, 4] cam->world
+        rel = np.linalg.inv(extr) @ extr[0]
+        ph = np.concatenate([verts, np.ones_like(verts[:, :1])], axis=-1)
+        return np.einsum("vij,nj->vni", rel, ph)[..., :3] * 1000.0
+
+    def visualize_mesh_on_image(self, idx: int = 0) -> np.ndarray:
+        """Shaded MANO mesh composited over every camera frame (the
+        reference's pyrender path, visualizer.py:602-710, rebuilt on the
+        first-party z-buffer rasterizer)."""
+        from handmvnet_tpu.vis.mesh_render import render_mesh_on_image
+
+        views = self._views("full_rgb", idx)
+        verts_mm = self._verts_in_view_mm(idx)
+        intr = self.batch["intrinsic"][idx]
+        panels = []
+        for v in range(views.shape[0]):
+            bg = np.ascontiguousarray(views[v][:, :, ::-1])
+            blended, _ = render_mesh_on_image(bg, verts_mm[v], self.faces, intr[v])
+            panels.append(blended)
+        return _grid(panels)
+
+    @staticmethod
+    def draw_vertices_wireframe(image_bgr: np.ndarray, vertices2d: np.ndarray,
+                                faces: np.ndarray) -> np.ndarray:
+        """White face-edge wireframe on an image (reference
+        _draw_vertices_on_image, visualizer.py:318-327)."""
+        import cv2
+
+        canvas = np.ascontiguousarray(image_bgr).copy()
+        pts = np.asarray(vertices2d)
+        polys = pts[np.asarray(faces)].astype(np.int32)  # [F, 3, 2]
+        finite = np.isfinite(pts[np.asarray(faces)]).all(axis=(1, 2))
+        cv2.polylines(canvas, list(polys[finite]), isClosed=True,
+                      color=(255, 255, 255), thickness=1)
+        return canvas
+
+    def visualize_vertices_wireframe_on_full_image(
+        self, idx: int = 0, with_bboxes: bool = True
+    ) -> np.ndarray:
+        """Darkened frames + projected-mesh wireframe + bounding boxes
+        (reference plot_full_images_with_vertices_and_bboxes,
+        visualizer.py:457-489)."""
+        import cv2
+        import jax.numpy as jnp
+
+        from handmvnet_tpu.ops.camera import reproject_to_views
+
+        verts = self.batch["vertices"][idx] + self.batch["root_joint"][idx]
+        v2d = np.asarray(
+            reproject_to_views(
+                jnp.asarray(verts[None] / 1000.0), 0,
+                jnp.asarray(self.batch["intrinsic"][idx][None]),
+                jnp.asarray(self.batch["extrinsic"][idx][None]),
+            )
+        )[0]
+        views = self._views("full_rgb", idx)
+        boxes = self.batch["bboxes"][idx].astype(int)
+        panels = []
+        for v in range(views.shape[0]):
+            img = (views[v][:, :, ::-1] * 0.5).astype(np.uint8)  # dark_factor
+            img = self.draw_vertices_wireframe(img, v2d[v], self.faces)
+            if with_bboxes:
+                cv2.rectangle(img, (boxes[v][0], boxes[v][1]),
+                              (boxes[v][2], boxes[v][3]), (255, 0, 0), 2)
+            panels.append(img)
+        return _grid(panels)
+
+    @staticmethod
+    def plot_joints_3d_predictions(points_pred: np.ndarray,
+                                   points_gt: np.ndarray) -> np.ndarray:
+        """Pred (solid blue) vs GT (dashed green) 3D skeletons in one axes
+        (reference visualizer.py:525-573); returns an RGBA ndarray."""
+        import io
+
+        import matplotlib
+
+        matplotlib.use("Agg")
+        import matplotlib.pyplot as plt
+
+        fig = plt.figure(figsize=(5, 5))
+        ax = fig.add_subplot(111, projection="3d")
+        for a, b in HAND_EDGES:
+            seg = np.asarray(points_pred)[[a, b]]
+            ax.plot(seg[:, 0], seg[:, 1], seg[:, 2], color="blue")
+        for a, b in HAND_EDGES:
+            seg = np.asarray(points_gt)[[a, b]]
+            ax.plot(seg[:, 0], seg[:, 1], seg[:, 2], linestyle="dashed",
+                    color="green")
+        ax.set_xticklabels([])
+        ax.set_yticklabels([])
+        ax.set_zticklabels([])
+        buf = io.BytesIO()
+        fig.savefig(buf, format="png")
+        plt.close(fig)
+        buf.seek(0)
+        import matplotlib.image as mpimg
+
+        return (mpimg.imread(buf) * 255).astype(np.uint8)
+
+    def visualize_3d_mesh(self, vertices_pred: np.ndarray,
+                          vertices_gt: np.ndarray | None = None,
+                          size: int = 256) -> np.ndarray:
+        """Standalone 256^2 mesh card (reference visualize_3d_mesh,
+        visualizer.py:602-641, built on plotly). plotly isn't available
+        here, so the first-party rasterizer renders the same composition:
+        pred in blue over an optional gray GT, orbit camera at -z."""
+        from handmvnet_tpu.vis.mesh_render import rasterize_mesh
+
+        # one shared normalization over BOTH layers so their relative
+        # placement survives (the reference draws both meshes in the same
+        # plotly scene)
+        all_v = np.asarray(vertices_pred, np.float64)
+        if vertices_gt is not None:
+            all_v = np.concatenate([all_v, np.asarray(vertices_gt, np.float64)])
+        center = all_v.mean(axis=0)
+        scale = np.abs(all_v - center).max() + 1e-9
+
+        def card(verts, color):
+            v = (np.asarray(verts, np.float64) - center) / scale
+            # camera at -z looking at the mesh centered at z=2.5 (the
+            # reference's default plotly eye distance), f fills the frame
+            v = v * np.array([1.0, -1.0, -1.0]) + np.array([0.0, 0.0, 2.5])
+            f = size * 1.0
+            return rasterize_mesh(
+                v, self.faces, np.array([f, f, size / 2, size / 2]),
+                size, size, color=color,
+            )
+
+        canvas = np.full((size, size, 3), 255, np.uint8)
+        if vertices_gt is not None:
+            rgb, depth = card(vertices_gt, np.array([0.6, 0.6, 0.6]))
+            canvas = np.where((depth > 0)[..., None], rgb[..., ::-1], canvas)
+        rgb, depth = card(vertices_pred, np.array([0.25, 0.35, 0.9]))
+        canvas = np.where((depth > 0)[..., None], rgb[..., ::-1], canvas)
+        return canvas.astype(np.uint8)
 
     def render_mesh(self, vertices: np.ndarray, faces: np.ndarray,
                     save_path: str | None = None):
