@@ -145,7 +145,13 @@ class MultiviewTarDataset:
 
             use_native = native_available()
         self.use_native = use_native
-        self._native_urls = urls[split_index::split_count] or urls
+        # mirror ShardDataset's split semantics: more readers than shards ->
+        # sample-ordinal split over ALL shards (never duplicate data)
+        self._native_sample_split = split_count > max(len(urls), 1)
+        self._native_split = (split_index, split_count)
+        self._native_urls = (
+            urls if self._native_sample_split else urls[split_index::split_count]
+        )
 
     def _split_urls(self, split: str) -> list[str]:
         train_urls = brace_expand(os.path.join(self.cfg.dataset_dir, self.train_pattern))
@@ -184,8 +190,11 @@ class MultiviewTarDataset:
 
         urls = list(self._native_urls)
         rng = np.random.default_rng(42 + hash(self.split) % 10000)
-        if self.split == "train":
+        if self.split == "train" and not self._native_sample_split:
+            # sample-split mode needs an identical shard order on every
+            # process for the ordinal partition to be exact
             rng.shuffle(urls)
+        split_index, split_count = self._native_split
         # decode only the view range actually used (e.g. 4 of 5 HO3D views)
         needed_views = max(self.cfg.selected_views) + 1
         loader = NativeShardLoader(
@@ -196,6 +205,14 @@ class MultiviewTarDataset:
             buffer: list[dict] = []
             buf_size = 500 if self.split == "train" else 0
             for _key, imgs, labels in loader:
+                if self._native_sample_split:
+                    # the C++ pool emits samples in thread-completion order,
+                    # so ordinal splitting is unsound here; a stable key hash
+                    # still partitions exactly (same key -> same owner)
+                    import zlib
+
+                    if zlib.crc32(_key.encode()) % split_count != split_index:
+                        continue
                 views = self.cfg.selected_views
                 sample = parse_multiview_labels(
                     labels, self.root_idx, self.input_res, views

@@ -112,9 +112,24 @@ class ShardDataset:
         self.seed = seed
         self._epoch = 0
 
+    @property
+    def _sample_split(self) -> bool:
+        """More readers than shards (non-resampled): split at SAMPLE
+        granularity so no two processes see the same data. The old behavior
+        (fall back to all shards) double-counted evaluation data — with 2
+        val shards and >=3 processes the pmean'd metrics were wrong."""
+        # the mode must be decided identically on EVERY process, so it keys
+        # on split_count vs the shard count, not on this process's slice
+        return not self.resample and self.split_count > max(len(self.urls), 1)
+
     def _shards_for_epoch(self, rng: np.random.Generator) -> list[str]:
-        urls = self.urls[self.split_index :: self.split_count] or self.urls
+        if self._sample_split:
+            # every process must walk the shards in the SAME order for the
+            # ordinal split to partition cleanly
+            return list(self.urls)
+        urls = self.urls[self.split_index :: self.split_count]
         if self.resample:
+            urls = urls or self.urls  # with replacement, oversubscription is fine
             return [str(rng.choice(urls)) for _ in range(len(urls))]
         if self.shuffle_shards:
             urls = list(urls)
@@ -123,14 +138,21 @@ class ShardDataset:
 
     def __iter__(self) -> Iterator[Any]:
         rng = np.random.default_rng(self.seed + self._epoch * 10007 + self.split_index)
+        sample_split = self._sample_split
         self._epoch += 1
         buffer: list[Any] = []
 
         def emit(sample):
             return self.preprocess(sample) if self.preprocess else sample
 
+        ordinal = 0
         for shard in self._shards_for_epoch(rng):
             for sample in iter_tar_samples(shard):
+                if sample_split:
+                    mine = ordinal % self.split_count == self.split_index
+                    ordinal += 1
+                    if not mine:
+                        continue
                 if self.shuffle_buffer > 1:
                     buffer.append(sample)
                     if len(buffer) >= self.shuffle_buffer:

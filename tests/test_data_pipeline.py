@@ -59,6 +59,43 @@ class TestTarRoundTrip:
         keys1 = {s["__key__"] for s in part1}
         assert not keys0 & keys1
 
+    def test_more_processes_than_shards_partitions_samples(self, shard_dir):
+        """3 'processes' over 2 shards must PARTITION the samples (the old
+        fallback gave every process all shards, double-counting eval data)."""
+        urls = sorted(str(p) for p in shard_dir.glob("HO3D_mv_train-*.tar"))[:2]
+        full = [s["__key__"] for s in ShardDataset(urls)]
+        parts = [
+            [s["__key__"] for s in ShardDataset(urls, split_index=i, split_count=3)]
+            for i in range(3)
+        ]
+        union = [k for p in parts for k in p]
+        assert sorted(union) == sorted(full)  # exact cover, no duplicates
+        sizes = sorted(len(p) for p in parts)
+        assert sizes[-1] - sizes[0] <= 1  # balanced within one sample
+
+    def test_sample_split_aggregate_metric_matches_single_process(self, shard_dir):
+        """Count-weighted mean over the per-process partitions equals the
+        single-process value (the multi-host eval aggregation contract)."""
+        urls = sorted(str(p) for p in shard_dir.glob("HO3D_mv_train-*.tar"))[:2]
+
+        def score(s):  # any per-sample scalar stands in for MPJPE
+            return float(np.mean(s["label.pyd"]["joints_2d"]))
+
+        single = np.mean([score(s) for s in ShardDataset(urls)])
+        per_proc = [
+            [score(s) for s in ShardDataset(urls, split_index=i, split_count=3)]
+            for i in range(3)
+        ]
+        weighted = sum(sum(p) for p in per_proc) / sum(len(p) for p in per_proc)
+        np.testing.assert_allclose(weighted, single, rtol=1e-6)
+
+    def test_resample_mode_tolerates_oversubscription(self, shard_dir):
+        """Training (resample=True) keeps the all-shards fallback: stochastic
+        with-replacement reads are fine for oversubscribed readers."""
+        urls = sorted(str(p) for p in shard_dir.glob("HO3D_mv_train-*.tar"))[:2]
+        ds = ShardDataset(urls, split_index=2, split_count=3, resample=True)
+        assert len(list(ds)) > 0
+
     def test_shuffle_buffer_preserves_multiset(self, shard_dir):
         urls = sorted(str(p) for p in shard_dir.glob("HO3D_mv_train-*.tar"))
         plain = [s["__key__"] for s in ShardDataset(urls)]

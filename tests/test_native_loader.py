@@ -62,3 +62,35 @@ class TestNativeLoader:
         dt = time.perf_counter() - t0
         assert n == 6
         assert dt < 30.0
+
+
+class TestNativeSampleSplit:
+    def test_oversubscribed_readers_partition_samples(self, built_lib, shards, tmp_path):
+        """3 dataset readers over 2 shards on the NATIVE path must partition
+        the samples exactly (key-hash ownership; emission order from the C++
+        pool is nondeterministic so ordinals can't be used)."""
+        import dataclasses
+
+        from handmvnet_tpu.config import Config
+        from handmvnet_tpu.data.ho3d import HO3DDataset
+
+        class TinyHO3D(HO3DDataset):
+            train_pattern = "HO3D_mv_train-{000000..000001}.tar"
+            test_pattern = "HO3D_mv_train-{000000..000001}.tar"
+            split_sizes = {"train": 6, "train+val": 6, "val": 6, "test": 6}
+
+        cfg = Config.from_yaml("configs/release/HO3D_HandMvNet.yaml")
+        cfg = cfg.replace(
+            data=dataclasses.replace(
+                cfg.data, dataset_dir=str(Path(shards[0]).parent)
+            )
+        )
+        parts = []
+        for i in range(3):
+            ds = TinyHO3D(cfg.data, "test", split_index=i, split_count=3,
+                          use_native=True)
+            parts.append({s["mv_sample_id"] for s in ds})
+        full = {s["mv_sample_id"] for s in
+                TinyHO3D(cfg.data, "test", use_native=True)}
+        assert set().union(*parts) == full
+        assert sum(len(p) for p in parts) == len(full)  # no duplicates
