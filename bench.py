@@ -16,6 +16,19 @@ that harness artifact the same way a real capture pipeline amortizes
 display vsync; the per-call fully-blocking number is still reported on
 stderr with --verbose.
 
+CRITICAL harness rule (scripts/probe_slowmode.py): a single device->host
+transfer permanently switches this process's transport out of pipelined
+dispatch — every subsequent compiled execution runs ~5 ms slower and
+blocking dispatch quantizes at ~30 ms, with no recovery (recompile,
+clear_caches, idling: all measured, none help). This includes IMPLICIT
+D2H: compiling a jit that closes over a device array (lowering fetches the
+literal), or indexing a numpy array with a device index array. Eager ops
+and host->device transfers are harmless. Nothing in the setup or timed
+path below may read a device value back to the host; ManoLayer's template
+and the IK/LBS index constants are pure numpy for this reason. (Round-1
+numbers silently paid this tax: the same tree measured 536 -> 3284 FPS
+once the transfers were eliminated.)
+
 Prints exactly one JSON line:
   {"metric": ..., "value": N, "unit": "frames/sec", "vs_baseline": N/48}
 vs_baseline is against the reference's reported ~48 FPS on an RTX 3090

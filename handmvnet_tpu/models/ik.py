@@ -61,7 +61,10 @@ def _global_orientation(template: jax.Array, target: jax.Array,
     Mirrors the reference's SVD + near-reflection special case
     (analytical_ik.py:80-99).
     """
-    kids = jnp.asarray(_FINGER_ROOTS)
+    # numpy index constants: `template` may be a host (numpy) array — indexing
+    # it with a device array would force a device->host read during tracing,
+    # which permanently degrades relayed TPU transports (see bench.py).
+    kids = np.asarray(_FINGER_ROOTS)
     t_bones = (template[kids] - template[0]).T  # [3, 5]
     p_bones = jnp.swapaxes(target[:, kids] - target[:, :1], -1, -2)  # [B, 3, 5]
     h = jnp.einsum("in,bjn->bij", t_bones, p_bones)  # T_0 @ P_0^T
@@ -97,16 +100,16 @@ def adaptive_ik(template: jax.Array, target: jax.Array,
     if r0 is None:
         r0 = _global_orientation(template, target, polish_sweeps)
 
-    roots = jnp.asarray(_FINGER_ROOTS)
+    roots = np.asarray(_FINGER_ROOTS)  # numpy: template may be a host array
     # per-finger chain state, vectorized over (B, 5)
     r_pa = jnp.broadcast_to(r0[:, None], (b, 5, 3, 3))  # R of the parent joint
     q_pa_pa = jnp.broadcast_to(template[0], (b, 5, 3))  # q of the grandparent
     pa_ids = roots  # parent joint ids at the current level
-    pa_pa_ids = jnp.zeros((5,), jnp.int32)  # wrist
+    pa_pa_ids = np.zeros((5,), np.int32)  # wrist
 
     locals_per_level = []
     for level in _LEVELS:
-        k_ids = jnp.asarray(level)
+        k_ids = np.asarray(level)
         t_pa = template[pa_ids]  # [5, 3]
         t_pa_pa = template[pa_pa_ids]
         t_k = template[k_ids]

@@ -23,6 +23,7 @@ from typing import Callable
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 from handmvnet_tpu.models.ik import _FINGER_ROOTS, adaptive_ik
 from handmvnet_tpu.models.mano import ManoLayer
@@ -43,9 +44,13 @@ def joints_to_vertices_fn(
     hand-geometry inputs — within the IK parity tolerance). fused_svd=True
     batches the alignment and orientation decompositions into one call.
     """
-    template = jnp.asarray(mano.joints_template())  # [21, 3] mm
-    align_ids = jnp.asarray(_ALIGN_JOINTS)
-    root_ids = jnp.asarray(_FINGER_ROOTS)
+    # NUMPY constants, never device arrays: a jitted closure over a device
+    # array forces a device->host read at lowering, which permanently
+    # degrades relayed TPU transports (see bench.py / scripts/probe_slowmode.py).
+    # As numpy they lower to embedded literals and static gathers.
+    template = np.asarray(mano.joints_template())  # [21, 3] mm
+    align_ids = np.asarray(_ALIGN_JOINTS)
+    root_ids = np.asarray(_FINGER_ROOTS)
     polish = 0 if fast_svd else 2
 
     def inverse_transform(r, t, verts):

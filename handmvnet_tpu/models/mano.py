@@ -241,7 +241,7 @@ class ManoLayer:
         parent_tf = jnp.broadcast_to(locals_tf[:, 0:1], (b, 5, 4, 4))
         level_tfs = [locals_tf[:, 0:1]]
         for level in levels:
-            ids = jnp.asarray(level)
+            ids = np.asarray(level)
             parent_tf = mm(parent_tf, locals_tf[:, ids])
             level_tfs.append(parent_tf)
         # concat in traversal order, then one static-permutation gather
@@ -258,9 +258,9 @@ class ManoLayer:
         vert_tf = jnp.einsum("vk,bkij->bvij", wts, world_adj)  # [B, 778, 4, 4]
         verts = mv(vert_tf[:, :, :3, :3], v_posed) + vert_tf[:, :, :3, 3]
 
-        tips = verts[:, jnp.asarray(constants.MANO_TIP_VERT_IDS), :]
+        tips = verts[:, np.asarray(constants.MANO_TIP_VERT_IDS), :]
         joints21 = jnp.concatenate([posed_joints, tips], axis=1)
-        joints21 = joints21[:, jnp.asarray(constants.MANO_TO_MEDIAPIPE), :]
+        joints21 = joints21[:, np.asarray(constants.MANO_TO_MEDIAPIPE), :]
         return verts * 1000.0, joints21 * 1000.0  # millimeters (manopth convention)
 
     def from_axis_angle(self, pose: jax.Array, betas: jax.Array | None = None):
@@ -282,7 +282,18 @@ class ManoLayer:
     def joints_template(self) -> np.ndarray:
         """Flat-hand 21-joint template in mm (identity pose, zero shape) —
         what the reference computes at JointsToVertices init
-        (joints_to_vertices.py:23)."""
-        eye = jnp.broadcast_to(jnp.eye(3, dtype=jnp.float32), (1, 16, 3, 3))
-        _, joints = self(eye)
-        return np.asarray(joints[0])
+        (joints_to_vertices.py:23).
+
+        Computed in pure numpy: at identity pose the forward collapses to
+        rest-pose joint regression (pose blendshapes vanish, FK composes
+        pure translations, LBS is the identity), so joints21 is just
+        j_regressor @ v_template plus the tip vertices. Keeping this off
+        the device matters on relayed TPU transports, where a single
+        device->host transfer permanently degrades async dispatch
+        (see bench.py and scripts/probe_slowmode.py)."""
+        m = self.model
+        joints16 = m.j_regressor @ m.v_template  # [16, 3]
+        tips = m.v_template[np.asarray(constants.MANO_TIP_VERT_IDS)]
+        j21 = np.concatenate([joints16, tips], axis=0)
+        j21 = j21[np.asarray(constants.MANO_TO_MEDIAPIPE)]
+        return (j21 * 1000.0).astype(np.float32)

@@ -131,12 +131,12 @@ def fused_attention(
         return _fused_attention_pallas(q, k, v, scale, interpret=True)
     if use_pallas is None:
         # Default OFF on measured evidence (scripts/bench_pallas_attention.py,
-        # TPU v5e): the kernel compiles fine (the round-1 Mosaic hang is gone)
-        # and wins the isolated microbench, but end-to-end the XLA einsum
-        # chain is faster (bf16 521 vs 483 FPS at the 8-view protocol) —
-        # pallas_call pads 168->176 tokens and breaks producer/consumer
-        # fusion with the surrounding projections. Opt in with
-        # use_pallas=True for longer sequences where tiling would matter.
+        # TPU v5e): the kernel compiles fine (the round-1 Mosaic hang is gone),
+        # but end-to-end the XLA einsum chain is faster (bf16 5015 vs 4643
+        # FPS at the 8-view protocol) — pallas_call pads 168->176 tokens and
+        # breaks producer/consumer fusion with the surrounding projections.
+        # Opt in with use_pallas=True for longer sequences where tiling
+        # would matter.
         use_pallas = False
     if use_pallas:
         return _pallas_attention_ad(q, k, v, scale)
