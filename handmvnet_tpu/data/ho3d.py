@@ -207,11 +207,19 @@ class MultiviewTarDataset:
             for _key, imgs, labels in loader:
                 if self._native_sample_split:
                     # the C++ pool emits samples in thread-completion order,
-                    # so ordinal splitting is unsound here; a stable key hash
-                    # still partitions exactly (same key -> same owner)
+                    # so ordinal splitting is unsound here; a stable per-key
+                    # rule still partitions exactly (same key -> same owner).
+                    # Numeric keys (the reference writes zero-padded sample
+                    # indices) split round-robin — a pure hash can starve a
+                    # process outright at small sample counts, which desyncs
+                    # multi-process SPMD.
                     import zlib
 
-                    if zlib.crc32(_key.encode()) % split_count != split_index:
+                    base = _key.rsplit("/", 1)[-1]
+                    owner = (
+                        int(base) if base.isdigit() else zlib.crc32(_key.encode())
+                    ) % split_count
+                    if owner != split_index:
                         continue
                 views = self.cfg.selected_views
                 sample = parse_multiview_labels(

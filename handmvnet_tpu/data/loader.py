@@ -92,6 +92,11 @@ class BatchLoader:
                     q.put(collate(samples))
             except StopIteration:
                 pass
+            except BaseException as e:  # pragma: no cover - re-raised below
+                # surface data-pipeline failures in the consumer: a dead
+                # producer thread must not read as a clean empty epoch (in
+                # multi-process SPMD that desyncs the collective programs)
+                q.put(e)
             finally:
                 q.put(stop)
 
@@ -101,6 +106,8 @@ class BatchLoader:
             item = q.get()
             if item is stop:
                 break
+            if isinstance(item, BaseException):
+                raise item
             if self.device_prepare is not None:
                 item = self.device_prepare(item)
             yield item

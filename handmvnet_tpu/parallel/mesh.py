@@ -33,7 +33,30 @@ def make_mesh(num_devices: int = 0, devices=None) -> Mesh:
                 f"{len(devices)} devices are available: "
                 f"{[str(d) for d in devices]}"
             )
-        devices = devices[:num_devices]
+        nproc = jax.process_count()
+        if nproc > 1:
+            # multi-controller: a device *prefix* would land entirely on the
+            # first process(es); every process must own an equal mesh slice
+            # (its local batch is one contiguous slice of the global batch —
+            # see global_batch). Pick num_devices//nproc from each process,
+            # in process order.
+            if num_devices % nproc:
+                raise ValueError(
+                    f"num_devices={num_devices} must be a multiple of "
+                    f"process_count={nproc}"
+                )
+            per = num_devices // nproc
+            devices = [
+                d
+                for p in range(nproc)
+                for d in [x for x in devices if x.process_index == p][:per]
+            ]
+            if len(devices) != num_devices:
+                raise ValueError(
+                    f"could not select {per} devices from each of {nproc} processes"
+                )
+        else:
+            devices = devices[:num_devices]
     return Mesh(np.asarray(devices), axis_names=(DATA_AXIS,))
 
 
@@ -42,5 +65,41 @@ def data_sharding(mesh: Mesh) -> NamedSharding:
     return NamedSharding(mesh, P(DATA_AXIS))
 
 
+def global_batch(sharding: NamedSharding, batch) -> dict:
+    """Place one host batch onto the data mesh.
+
+    Single-process: a plain device_put scatter. Multi-process
+    (multi-controller SPMD, after jax.distributed.initialize): each process
+    contributes its *local* batch as one contiguous slice of the global
+    batch along the data axis — global B = local B x process_count, matching
+    the reference's per-rank DataLoader semantics (Lightning DDP: train
+    batch_size is per-GPU) and this repo's per-process tar sharding
+    (ShardDataset split_index=process_index, train.py). device_put would be
+    wrong here: it treats each process's array as the *whole* global batch.
+    """
+    if jax.process_count() == 1:
+        return {k: jax.device_put(v, sharding) for k, v in batch.items()}
+    nproc = jax.process_count()
+    out = {}
+    for k, v in batch.items():
+        v = np.asarray(v)
+        gshape = (v.shape[0] * nproc,) + v.shape[1:]
+        out[k] = jax.make_array_from_process_local_data(sharding, v, global_shape=gshape)
+    return out
+
+
 def replicated(mesh: Mesh) -> NamedSharding:
     return NamedSharding(mesh, P())
+
+
+def replicate_state(tree, mesh: Mesh):
+    """Replicate a locally-materialized pytree (train state) over the mesh.
+
+    Multi-process: every process holds an identical local copy (state init is
+    deterministic), but committed single-device arrays can't be device_put
+    across hosts — round-trip through host memory first. Single-process:
+    plain device_put (no device->host transfer — that would permanently
+    degrade the tunneled TPU transport, see CLAUDE.md)."""
+    if jax.process_count() > 1:
+        tree = jax.tree.map(np.asarray, tree)
+    return jax.device_put(tree, replicated(mesh))

@@ -40,7 +40,7 @@ from handmvnet_tpu.parallel import (
     make_optimizer,
     make_train_step,
 )
-from handmvnet_tpu.parallel.mesh import data_sharding
+from handmvnet_tpu.parallel.mesh import data_sharding, global_batch
 
 DATASETS = {"ho3d": HO3DDataset, "dexycb": DexYCBDataset, "mvhand": MVHandDataset}
 
@@ -128,19 +128,34 @@ def make_vis_hook(cfg: Config, eval_step, out_dir: Path):
 
         from handmvnet_tpu.vis.visualizer import HandPoseVisualizer
 
+        # eval_step is collective — every process runs it; only process 0
+        # writes the pngs (batch[0] is addressable there: it owns the first
+        # slice of the global batch)
         out = eval_step(state, batch)
-        img = HandPoseVisualizer.plot_images_with_joints(
-            np.asarray(batch["rgb"][0]), np.asarray(out["joints_crop_img"][0])
-        )
-        cv2.imwrite(str(vis_dir / mode / f"joints2d_{epoch}.png"), img)
-        if cfg.train.loss_weights.g2d is not None and "extrinsic" in batch:
+        with_proj = cfg.train.loss_weights.g2d is not None and "extrinsic" in batch
+        if with_proj:
             proj = project_crop(
                 out["joints_cam"],
                 jnp.asarray(batch["root_joint"]) / 1000.0,
                 batch["intrinsic"], batch["extrinsic"], batch["bboxes"],
             )
+        if jax.process_index() != 0:
+            return
+
+        def first_row(x):
+            # global arrays are only partially addressable per process:
+            # read batch element 0 out of process 0's first shard
+            if hasattr(x, "addressable_data"):
+                x = x.addressable_data(0)
+            return np.asarray(x)[0]
+
+        img = HandPoseVisualizer.plot_images_with_joints(
+            first_row(batch["rgb"]), first_row(out["joints_crop_img"])
+        )
+        cv2.imwrite(str(vis_dir / mode / f"joints2d_{epoch}.png"), img)
+        if with_proj:
             img = HandPoseVisualizer.plot_images_with_joints(
-                np.asarray(batch["rgb"][0]), np.asarray(proj[0])
+                first_row(batch["rgb"]), first_row(proj)
             )
             cv2.imwrite(
                 str(vis_dir / mode / f"projected_joints2d_{epoch}.png"), img
@@ -161,13 +176,27 @@ def main(argv=None) -> None:
     parser.add_argument("--multihost", action="store_true",
                         help="initialize jax.distributed (multi-host SPMD; "
                              "the input pipeline auto-shards by process_index)")
+    parser.add_argument("--coordinator", default="",
+                        help="host:port for jax.distributed; omit for the "
+                             "cluster auto-detection (SLURM/TPU metadata)")
+    parser.add_argument("--num-processes", type=int, default=-1,
+                        help="with --coordinator: total process count")
+    parser.add_argument("--process-id", type=int, default=-1,
+                        help="with --coordinator: this process's id")
     parser.add_argument("--detect-anomaly", action="store_true",
                         help="raise on NaNs inside jitted code (the reference's "
                              "torch detect_anomaly switch, eval.py:63)")
     args = parser.parse_args(argv)
 
     if args.multihost:
-        jax.distributed.initialize()
+        if args.coordinator:
+            jax.distributed.initialize(
+                coordinator_address=args.coordinator,
+                num_processes=args.num_processes,
+                process_id=args.process_id,
+            )
+        else:
+            jax.distributed.initialize()
     if args.detect_anomaly:
         jax.config.update("jax_debug_nans", True)
 
@@ -176,8 +205,15 @@ def main(argv=None) -> None:
         cfg = cfg.replace(train=dataclasses.replace(cfg.train, epochs=args.epochs))
     out_dir = Path(args.output_dir or cfg.base_output_dir)
     out_dir.mkdir(parents=True, exist_ok=True)
-    cfg.dump(out_dir)
-    logger = JsonlLogger(out_dir / "metrics.jsonl", tensorboard_dir=out_dir / "tb")
+    # non-collective side effects (files, logs) happen on process 0 only;
+    # collective programs (train/eval steps, orbax saves) run on every process
+    is_main = jax.process_index() == 0
+    if is_main:
+        cfg.dump(out_dir)
+    logger = (
+        JsonlLogger(out_dir / "metrics.jsonl", tensorboard_dir=out_dir / "tb")
+        if is_main else None
+    )
 
     seed = cfg.train.seed
     rng = jax.random.PRNGKey(seed)
@@ -185,15 +221,22 @@ def main(argv=None) -> None:
 
     # the global batch is sharded over "data": use the largest divisor of the
     # batch size not exceeding the request (same rule as eval.py) — a batch of
-    # 16 on 3 devices would otherwise die inside shard_map
+    # 16 on 3 devices would otherwise die inside shard_map. Multihost: the
+    # config batch size is per-process (reference DDP semantics), so the
+    # divisor rule applies per process and the mesh takes an equal device
+    # count from every process (make_mesh handles the selection).
+    nproc = jax.process_count()
     n_avail = len(jax.devices())
     requested = args.num_devices or cfg.train.num_devices or n_avail
-    usable = max(1, min(requested, n_avail, cfg.data.batch_size))
-    while cfg.data.batch_size % usable:
-        usable -= 1
+    per_proc = max(
+        1, min(requested // nproc or 1, jax.local_device_count(), cfg.data.batch_size)
+    )
+    while cfg.data.batch_size % per_proc:
+        per_proc -= 1
+    usable = per_proc * nproc
     if usable != requested:
-        print(f"[warning] shrinking mesh {requested} -> {usable} devices so it "
-              f"divides batch_size={cfg.data.batch_size}")
+        print(f"[warning] shrinking mesh {requested} -> {usable} devices so each "
+              f"process's slice divides batch_size={cfg.data.batch_size}")
     mesh = make_mesh(num_devices=usable)
     n_dev = mesh.devices.size
     print(f"devices: {[str(d) for d in mesh.devices.flat]}")
@@ -225,6 +268,12 @@ def main(argv=None) -> None:
     from handmvnet_tpu.pretrained import load_pretrained_backbone
 
     state = load_pretrained_backbone(state, cfg)
+    if jax.process_count() > 1:
+        # every process initialized an identical local state; make it one
+        # replicated global array before the collective train step
+        from handmvnet_tpu.parallel.mesh import replicate_state
+
+        state = replicate_state(state, mesh)
     start_epoch = 0
     last_ckpt = out_dir / "checkpoints" / "last"
     if args.resume and last_ckpt.exists():
@@ -233,9 +282,9 @@ def main(argv=None) -> None:
         state = restore_checkpoint(last_ckpt, state)
         # restored arrays are committed to one device; replicate over the
         # mesh or the first sharded train step dies on a device mismatch
-        from handmvnet_tpu.parallel.mesh import replicated
+        from handmvnet_tpu.parallel.mesh import replicate_state
 
-        state = jax.device_put(state, replicated(mesh))
+        state = replicate_state(state, mesh)
         start_epoch = int(state.step) // max(1, steps_per_epoch)
         print(f"resumed from {last_ckpt} at step {int(state.step)} (epoch {start_epoch})")
     param_count = sum(np.prod(p.shape) for p in jax.tree.leaves(state.params))
@@ -255,7 +304,9 @@ def main(argv=None) -> None:
         vertices_fn = make_vertices_fn(cfg)
 
     def shard(batch):
-        return {k: jax.device_put(v, sharding) for k, v in batch.items()}
+        # multihost-aware: each process contributes its local batch as one
+        # slice of the global batch (see parallel/mesh.py:global_batch)
+        return global_batch(sharding, batch)
 
     # preemption resilience (the reference records SLURM ids but has no
     # handler, SURVEY §5.3): checkpoint "last" on SIGTERM, then exit
@@ -288,27 +339,31 @@ def main(argv=None) -> None:
         train_metrics = avg.result()
 
         val_metrics = evaluate(eval_step, state, val_loader, cfg, mode="val",
-                               vertices_fn=vertices_fn)
+                               vertices_fn=vertices_fn, prepare=shard)
         val_mpjpe = val_metrics.get("val_mpjpe", float("inf"))
         ckpt.save(state, epoch, val_mpjpe)
+        # the hooks' eval_step is collective (every process participates);
+        # only process 0 writes the pngs (guarded inside the hook)
         if last_batch is not None:
             vis_hook(state, last_batch, epoch, "train")
         if (epoch + 1) % max(1, cfg.train.vis_every_n_epochs) == 0:
             vis_hook(state, shard(next(iter(val_loader))), epoch, "val")
-        logger.log(
-            {
-                "epoch": epoch,
-                "time_s": round(time.time() - t0, 1),
-                **{f"train/{k}": v for k, v in train_metrics.items()},
-                **{k: v for k, v in val_metrics.items() if "pck" not in k},
-            }
-        )
+        if logger is not None:
+            logger.log(
+                {
+                    "epoch": epoch,
+                    "time_s": round(time.time() - t0, 1),
+                    **{f"train/{k}": v for k, v in train_metrics.items()},
+                    **{k: v for k, v in val_metrics.items() if "pck" not in k},
+                }
+            )
 
     # post-fit: validate best checkpoint -> val.json (reference train.py:93-104)
     best_state = ckpt.restore_best(state)
     val = evaluate(eval_step, best_state, val_loader, cfg, mode="val",
-                   vertices_fn=vertices_fn)
-    write_results_json(out_dir / "val.json", val)
+                   vertices_fn=vertices_fn, prepare=shard)
+    if is_main:
+        write_results_json(out_dir / "val.json", val)
     print("Validation result:", {k: v for k, v in val.items() if "pck" not in k})
 
 
