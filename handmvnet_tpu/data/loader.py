@@ -58,6 +58,7 @@ class BatchLoader:
         device_prepare: Callable[[dict], dict] | None = None,
         prefetch: int = 2,
         seed: int = 42,
+        device_prefetch: bool = True,
     ):
         self.dataset = dataset
         self.batch_size = batch_size
@@ -65,6 +66,7 @@ class BatchLoader:
         self.device_prepare = device_prepare
         self.prefetch = prefetch
         self.seed = seed
+        self.device_prefetch = device_prefetch
         self._iter: Iterator[dict] | None = None
 
     def _sample_stream(self) -> Iterator[dict]:
@@ -100,16 +102,43 @@ class BatchLoader:
             finally:
                 q.put(stop)
 
-        t = threading.Thread(target=producer, daemon=True)
-        t.start()
+        threading.Thread(target=producer, daemon=True).start()
+
+        out_q = q
+        inline_prepare = self.device_prepare
+        if self.device_prepare is not None and self.device_prefetch:
+            # second pipeline stage (double buffering): the H2D upload + the
+            # jitted on-device preprocess for batch N+1 are dispatched while
+            # the caller's step for batch N runs — the consumer thread never
+            # pays the (transport-bound) dispatch latency on its own clock
+            inline_prepare = None
+            out_q = queue.Queue(maxsize=self.prefetch)
+            src = q
+
+            def preparer():
+                try:
+                    while True:
+                        item = src.get()
+                        if item is stop or isinstance(item, BaseException):
+                            out_q.put(item)
+                            if item is stop:
+                                return
+                            continue
+                        out_q.put(self.device_prepare(item))
+                except BaseException as e:  # pragma: no cover - re-raised below
+                    out_q.put(e)
+                    out_q.put(stop)
+
+            threading.Thread(target=preparer, daemon=True).start()
+
         while True:
-            item = q.get()
+            item = out_q.get()
             if item is stop:
                 break
             if isinstance(item, BaseException):
                 raise item
-            if self.device_prepare is not None:
-                item = self.device_prepare(item)
+            if inline_prepare is not None:
+                item = inline_prepare(item)
             yield item
 
     def __len__(self) -> int:

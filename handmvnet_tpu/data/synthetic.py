@@ -68,13 +68,22 @@ def synthetic_batch(
     }
     if with_heatmaps:  # noqa: SIM108  (kept explicit for readability)
         # reference renders at image res then antialias-resizes to 32^2
-        # (ho3d.py:156-166); same chain here, on host numpy via the jnp ops
-        hm_full = np.asarray(
-            render_gaussian_heatmaps(joints_crop.reshape(b * v, j, 2), image_size, image_size)
-        )
-        hm = np.asarray(
-            resize_bilinear_antialias(hm_full, (heatmap_size, heatmap_size))
-        ).reshape(b, v, j, heatmap_size, heatmap_size)
+        # (ho3d.py:156-166); same chain here via the jnp ops, pinned to the
+        # CPU backend: running them on the default (tunneled TPU) device and
+        # reading the result back is a device->host transfer, which
+        # permanently degrades the transport for the whole process
+        # (CLAUDE.md invariant; measured ~40x upload slowdown)
+        import jax
+
+        with jax.default_device(jax.devices("cpu")[0]):
+            hm_full = np.asarray(
+                render_gaussian_heatmaps(
+                    joints_crop.reshape(b * v, j, 2), image_size, image_size
+                )
+            )
+            hm = np.asarray(
+                resize_bilinear_antialias(hm_full, (heatmap_size, heatmap_size))
+            ).reshape(b, v, j, heatmap_size, heatmap_size)
         batch["heatmap"] = hm.astype(np.float32)
     return batch
 

@@ -119,6 +119,36 @@ class MetricAverager:
         return out
 
 
+class DeviceMetricAverager:
+    """MetricAverager that keeps the running sums ON DEVICE: one tiny jitted
+    tree-add per update, a single device->host read in result().
+
+    Per-step host reads (float()/device_get) both serialize the device
+    timeline against the host loop and — on relayed TPU transports —
+    permanently degrade transfer throughput by an order of magnitude
+    (CLAUDE.md invariant), so an epoch must sync exactly once."""
+
+    def __init__(self) -> None:
+        self._sums = None
+        self._count = 0
+        self._add = jax.jit(lambda a, b: jax.tree.map(jnp.add, a, b))
+
+    def update(self, metrics: Mapping[str, Any]) -> None:
+        self._count += 1
+        metrics = dict(metrics)
+        self._sums = metrics if self._sums is None else self._add(self._sums, metrics)
+
+    def result(self) -> Dict[str, Any]:
+        if self._sums is None:
+            return {}
+        host = jax.device_get(self._sums)
+        out = {}
+        for k, v in host.items():
+            avg = np.asarray(v, np.float64) / max(self._count, 1)
+            out[k] = avg.tolist() if avg.ndim else float(avg)
+        return out
+
+
 class JsonlLogger:
     """Append-only metrics log (one JSON object per line) + stdout echo +
     optional TensorBoard scalars (the reference logs through Lightning to TB,
@@ -238,7 +268,7 @@ def evaluate(
             vertices_fn=vertices_fn,
         )
     )
-    avg = MetricAverager()
+    avg = DeviceMetricAverager()  # one host sync per epoch, not per batch
     for batch in loader:
         if prepare is not None:
             batch = prepare(batch)
@@ -246,8 +276,7 @@ def evaluate(
         labels = labels_in_meters(batch)
         device = metrics_fn(out, {k: labels[k] for k in labels if k in (
             "joints_crop_img", "joints_cam", "root_joint", "vertices", "joints_img_mask")})
-        host = jax.device_get(device)
-        avg.update(host)
+        avg.update(device)
     result = avg.result()
     return {f"{mode}_{k}": v for k, v in result.items()}
 

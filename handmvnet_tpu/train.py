@@ -27,8 +27,8 @@ from handmvnet_tpu.data.mvhand import MVHandDataset
 from handmvnet_tpu.data.pipeline import preprocess_views
 from handmvnet_tpu.engine import (
     CheckpointManager,
+    DeviceMetricAverager,
     JsonlLogger,
-    MetricAverager,
     evaluate,
     write_results_json,
 )
@@ -321,12 +321,15 @@ def main(argv=None) -> None:
 
     for epoch in range(start_epoch, cfg.train.epochs):
         t0 = time.time()
-        avg = MetricAverager()
+        # losses accumulate on device; ONE host sync per epoch (per-step
+        # float() reads serialize the device timeline against the host loop
+        # and degrade relayed transports — see engine.DeviceMetricAverager)
+        avg = DeviceMetricAverager()
         last_batch = None
         for i, batch in enumerate(train_loader):
             last_batch = shard(batch)
             state, losses = train_step(state, last_batch, jax.random.fold_in(rng, epoch * 100003 + i))
-            avg.update({k: float(v) for k, v in losses.items()})
+            avg.update(losses)
             if preempted["flag"]:
                 # step-granular preemption: a SLURM grace window (30-60 s)
                 # must not lose the whole epoch
