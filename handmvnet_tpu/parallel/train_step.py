@@ -90,13 +90,22 @@ def create_train_state(model, cfg: Config, rng, sample_batch, tx=None) -> TrainS
 
 
 def _forward_loss(model, cfg: Config, params, batch_stats, batch, rng):
+    compute_params = params
     if cfg.train.compute_dtype == "bfloat16":
-        # bf16 activations through the conv/attention stack (params stay fp32,
-        # losses/metrics fp32 — the model casts its outputs up)
+        # true mixed precision: cast params + activations to bf16 so the
+        # convs/attention hit the MXU at native width (fp32 params alone
+        # make XLA upcast every matmul — measured ~3x slower); the fp32
+        # master params live in the optimizer state, and grads come back
+        # fp32 through the cast's transpose. Losses/metrics stay fp32 (the
+        # model casts its outputs up).
         batch = dict(batch)
         batch["rgb"] = batch["rgb"].astype(jnp.bfloat16)
+        compute_params = jax.tree.map(
+            lambda p: p.astype(jnp.bfloat16) if p.dtype == jnp.float32 else p,
+            params,
+        )
     out, mutated = model.apply(
-        {"params": params, "batch_stats": batch_stats},
+        {"params": compute_params, "batch_stats": batch_stats},
         batch["rgb"],
         batch["bboxes"],
         batch["intrinsic"],
@@ -104,6 +113,14 @@ def _forward_loss(model, cfg: Config, params, batch_stats, batch, rng):
         rngs={"dropout": rng},
         mutable=["batch_stats"],
     )
+    if cfg.train.compute_dtype == "bfloat16":
+        # running BN stats keep their fp32 storage (bf16 stats would also
+        # flip the state pytree dtype between steps and force a recompile)
+        mutated = {
+            "batch_stats": jax.tree.map(
+                lambda x: x.astype(jnp.float32), mutated["batch_stats"]
+            )
+        }
     labels = dict(batch)
     # meters for numeric stability (reference handmvnet.py:452-453)
     labels["joints_cam"] = batch["joints_cam"] / 1000.0

@@ -67,13 +67,18 @@ def main() -> None:
         state, losses = step(state, dbatch, rng)
     jax.block_until_ready(losses)
 
+    # chunked sync with a VALUE read per chunk: on the relayed transport
+    # block_until_ready can return before the queued executions finish
+    # (measured: 100 x 97ms steps "completed" in 0.28s), so only a scalar
+    # read is a trustworthy barrier — same methodology as bench.py
+    _ = float(losses["loss"])
     t0 = time.perf_counter()
     done = 0
     while done < args.iters:
-        n = min(10, args.iters - done)
+        n = min(25, args.iters - done)
         for _ in range(n):
             state, losses = step(state, dbatch, rng)
-        jax.block_until_ready(losses)
+        _ = float(losses["loss"])
         done += n
     dt = (time.perf_counter() - t0) / args.iters
 

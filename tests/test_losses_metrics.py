@@ -148,3 +148,31 @@ class TestStackedDim:
         oracle = float(PoseLoss.mse_loss(torch.from_numpy(preds), torch.from_numpy(labels),
                                          stacked_dim=1, weight=2.0))
         np.testing.assert_allclose(ours, oracle, rtol=1e-4)  # fp32 mean over 5.4M elems
+
+
+class TestDeviceMetricAverager:
+    def test_matches_host_averager(self, rng):
+        """Device-side accumulation (one sync per epoch) must agree with the
+        host float()-per-step averager it replaced in the train loop."""
+        import jax.numpy as jnp
+
+        from handmvnet_tpu.engine import DeviceMetricAverager, MetricAverager
+
+        host, dev = MetricAverager(), DeviceMetricAverager()
+        for _ in range(5):
+            step = {
+                "loss": rng.uniform(0, 100),
+                "pck": rng.uniform(size=7),  # curve-valued metric
+            }
+            host.update(step)
+            dev.update({k: jnp.asarray(v) for k, v in step.items()})
+        a, b = host.result(), dev.result()
+        assert set(a) == set(b)
+        assert abs(a["loss"] - b["loss"]) < 1e-4
+        np.testing.assert_allclose(a["pck"], b["pck"], rtol=1e-5)
+        assert isinstance(b["loss"], float) and isinstance(b["pck"], list)
+
+    def test_empty(self):
+        from handmvnet_tpu.engine import DeviceMetricAverager
+
+        assert DeviceMetricAverager().result() == {}
