@@ -6,28 +6,30 @@ step. The reference runs forward on GPU then per-sample CPU MANO IK inside
 the timed region; here the whole step — network AND the IK+MANO mesh stage —
 is ONE jitted XLA program on-chip.
 
-Measurement: steady-state throughput with chunked synchronization (one
-block per --chunk frames). The test harness reaches the TPU through a
-relayed transport whose completion signaling is quantized at ~30 ms per
-host sync regardless of device work; syncing every frame therefore measures
-the relay's polling interval, not the chip (device work here is ~2 ms/frame
-— two orders of magnitude below the sync quantum). Chunked sync amortizes
-that harness artifact the same way a real capture pipeline amortizes
-display vsync; the per-call fully-blocking number is still reported on
-stderr with --verbose.
+Measurement (revised round 2 after auditing the sync barrier): steady-state
+throughput with chunked synchronization — one scalar VALUE read per --chunk
+frames. jax.block_until_ready is NOT a trustworthy barrier on the relayed
+transport (measured: 100 x 97 ms train steps "completed" in 0.28 s under
+it), so every number here is bounded by actual data reads. Two figures are
+reported:
 
-CRITICAL harness rule (scripts/probe_slowmode.py): a single device->host
-transfer permanently switches this process's transport out of pipelined
-dispatch — every subsequent compiled execution runs ~5 ms slower and
-blocking dispatch quantizes at ~30 ms, with no recovery (recompile,
-clear_caches, idling: all measured, none help). This includes IMPLICIT
-D2H: compiling a jit that closes over a device array (lowering fetches the
-literal), or indexing a numpy array with a device index array. Eager ops
-and host->device transfers are harmless. Nothing in the setup or timed
-path below may read a device value back to the host; ManoLayer's template
-and the IK/LBS index constants are pure numpy for this reason. (Round-1
-numbers silently paid this tax: the same tree measured 536 -> 3284 FPS
-once the transfers were eliminated.)
+  * value (headline): the reference per-call protocol — one RPC dispatch
+    per frame. Through the relay each call costs ~2-5 ms turnaround
+    depending on external load (run-to-run variance is real; best-of-N
+    repeats inside one process can't remove it).
+  * device_fps: K batch-1 forwards per dispatch via lax.scan (identical
+    per-frame semantics, no batching) — amortizes the relay RPC cost 1/K
+    and is stable across transport load; this is what the chip sustains.
+
+CRITICAL harness rule (scripts/probe_slowmode.py + round-2 session): a
+single device->host transfer permanently degrades this process's transport
+— subsequent compiled executions run ~5 ms slower, blocking dispatch
+quantizes at ~30 ms, and H2D uploads drop ~40x (1.5 GB/s -> ~35 MB/s), with
+no recovery. This includes IMPLICIT D2H: a jit closing over a device array,
+or numpy indexed by a device index array. Eager ops and uploads are
+harmless. The timed loops below read only at chunk boundaries, and the
+setup path reads nothing; ManoLayer's template and the IK/LBS index
+constants are pure numpy for this reason.
 
 Prints exactly one JSON line:
   {"metric": ..., "value": N, "unit": "frames/sec", "vs_baseline": N/48}
@@ -106,44 +108,85 @@ def run_protocol(cfg, args, dtype_name: str) -> tuple[float, float]:
 
     compiled = jax.jit(step).lower(variables, rgb, bboxes, intr).compile()
 
+    def read_barrier(res) -> float:
+        # scalar read of one output element — see measure() for why this is
+        # the only trustworthy completion barrier on the relayed transport
+        return float(res[0][(0,) * res[0].ndim])
+
     for _ in range(args.warmup):
         res = compiled(variables, rgb, bboxes, intr)
-    jax.block_until_ready(res)
+    read_barrier(res)
 
     # fully-blocking latency (includes transport pipeline drain)
     lat = []
     for _ in range(min(50, args.iters)):
         t0 = time.perf_counter()
-        jax.block_until_ready(compiled(variables, rgb, bboxes, intr))
+        read_barrier(compiled(variables, rgb, bboxes, intr))
         lat.append(time.perf_counter() - t0)
 
     # steady-state throughput, one host sync per chunk of frames; best of 3
     # repeats (standard benchmark practice — the relayed transport's
-    # completion latency is noisy under external load)
+    # completion latency is noisy under external load). The chunk barrier is
+    # a scalar VALUE read, not block_until_ready: on the relayed transport
+    # block_until_ready can return before queued executions have finished
+    # (measured round 2 on the train step: 100 x 97 ms steps "completed" in
+    # 0.28 s), so only a read is a trustworthy barrier.
     def measure() -> float:
         t0 = time.perf_counter()
         done = 0
-        res = None
         while done < args.iters:
             n = min(args.chunk, args.iters - done)
             for _ in range(n):
                 res = compiled(variables, rgb, bboxes, intr)
-            jax.block_until_ready(res)
+            _ = float(res[0][(0,) * res[0].ndim])
             done += n
         return time.perf_counter() - t0
 
-    total = min(measure() for _ in range(3))
+    total = min(measure() for _ in range(5))
     fps = args.iters * args.batch / total
     p50_ms = float(np.percentile(lat, 50) * 1e3)
+
+    # device-throughput probe: K sequential batch-1 forwards inside ONE
+    # dispatch (lax.scan over K distinct frames — per-frame semantics
+    # identical to the loop above, still no batching). The relay's ~2 ms
+    # per-RPC turnaround dominates the per-call protocol; this amortizes it
+    # 1/K and exposes what the chip itself sustains.
+    K = args.scan_frames
+    key = jax.random.PRNGKey(7)
+    rgbK = rgb[None] + (jax.random.normal(key, (K,) + rgb.shape, jnp.float32) * 0.01).astype(rgb.dtype)
+    bboxesK = jnp.broadcast_to(bboxes, (K,) + bboxes.shape)
+    intrK = jnp.broadcast_to(intr, (K,) + intr.shape)
+
+    def scanned(variables, rgbK, bboxesK, intrK):
+        def body(carry, xs):
+            r, bb, it = xs
+            joints, second = step(variables, r, bb, it)
+            return carry, (joints[0, 0], second[0, 0])
+        _, outs = jax.lax.scan(body, 0, (rgbK, bboxesK, intrK))
+        return outs
+
+    scompiled = jax.jit(scanned).lower(variables, rgbK, bboxesK, intrK).compile()
+    sres = scompiled(variables, rgbK, bboxesK, intrK)
+    _ = float(sres[0][(0,) * sres[0].ndim])
+    calls = max(1, args.iters // K)
+
+    def measure_scan() -> float:
+        t0 = time.perf_counter()
+        for _ in range(calls):
+            sres = scompiled(variables, rgbK, bboxesK, intrK)
+        _ = float(sres[0][(0,) * sres[0].ndim])
+        return time.perf_counter() - t0
+
+    device_fps = calls * K * args.batch / min(measure_scan() for _ in range(3))
     if args.verbose:
         print(
             f"# device={jax.devices()[0]} dtype={dtype_name} views={args.views} "
             f"vertices={with_vertices} chunk={args.chunk} "
             f"throughput={total/args.iters*1e3:.3f}ms/frame "
-            f"blocking_p50={p50_ms:.3f}ms",
+            f"blocking_p50={p50_ms:.3f}ms device_fps={device_fps:.0f}",
             file=sys.stderr,
         )
-    return fps, p50_ms
+    return fps, p50_ms, device_fps
 
 
 def main() -> None:
@@ -154,6 +197,8 @@ def main() -> None:
     parser.add_argument("--warmup", type=int, default=100)
     parser.add_argument("--iters", type=int, default=1000)
     parser.add_argument("--chunk", type=int, default=200, help="frames per host sync")
+    parser.add_argument("--scan-frames", type=int, default=50,
+                        help="frames per dispatch for the device-throughput probe")
     parser.add_argument("--dtype", choices=["float32", "bfloat16"], default="bfloat16")
     parser.add_argument("--no-vertices", action="store_true",
                         help="skip the MANO IK + LBS mesh stage")
@@ -171,7 +216,7 @@ def main() -> None:
         model=dataclasses.replace(cfg.model, selected_views=tuple(range(args.views)))
     )
 
-    fps, p50_ms = run_protocol(cfg, args, args.dtype)
+    fps, p50_ms, device_fps = run_protocol(cfg, args, args.dtype)
     record = {
         "metric": f"handmvnet_{cfg.model.backbone}{cfg.model.backbone_type}"
         f"_fps_b{args.batch}_v{args.views}_{args.dtype}"
@@ -180,14 +225,16 @@ def main() -> None:
         "unit": "frames/sec",
         "vs_baseline": round(fps / 48.0, 3),
         "blocking_p50_ms": round(p50_ms, 2),
+        "device_fps": round(device_fps, 2),
     }
     # fp32 datapoint: the parity story is fp32, so show the target is met in
     # the parity dtype too (bf16 stays the headline)
     if args.dtype == "bfloat16" and not args.skip_fp32:
-        fps32, p50_32 = run_protocol(cfg, args, "float32")
+        fps32, p50_32, dev32 = run_protocol(cfg, args, "float32")
         record["fp32_fps"] = round(fps32, 2)
         record["fp32_vs_baseline"] = round(fps32 / 48.0, 3)
         record["fp32_blocking_p50_ms"] = round(p50_32, 2)
+        record["fp32_device_fps"] = round(dev32, 2)
 
     print(json.dumps(record))
 

@@ -77,7 +77,7 @@ def e2e_bench(views: int, iters: int) -> None:
 
     args = argparse.Namespace(
         batch=1, views=views, warmup=50, iters=iters, chunk=200,
-        no_vertices=False, verbose=True,
+        no_vertices=False, verbose=True, scan_frames=50,
     )
     cfg = Config.from_yaml("configs/release/HO3D_HandMvNet.yaml")
     cfg = cfg.replace(
@@ -92,10 +92,12 @@ def e2e_bench(views: int, iters: int) -> None:
 
             pa.fused_attention = patched
             for dt in ("bfloat16", "float32"):
-                fps, p50 = run_protocol(cfg, args, dt)
+                fps, p50, dev_fps = run_protocol(cfg, args, dt)
+                # device_fps is the discriminator: the per-call figure is
+                # dominated by relay turnaround noise (see bench.py docstring)
                 print(
-                    f"pallas={mode} dtype={dt}: {fps:.1f} FPS, "
-                    f"blocking_p50={p50:.2f}ms"
+                    f"pallas={mode} dtype={dt}: per-call {fps:.1f} FPS, "
+                    f"device {dev_fps:.1f} FPS, blocking_p50={p50:.2f}ms"
                 )
     finally:
         pa.fused_attention = orig
