@@ -38,12 +38,23 @@ def _nearest_upsample(x: jax.Array, factor: int) -> jax.Array:
 
 
 class HRModule(nn.Module):
-    """One HighResolutionModule: per-branch residual chains + full fuse."""
+    """One HighResolutionModule: per-branch residual chains + full fuse.
+
+    ``packed`` (eval-time only): the fuse lattice's many narrow convs are
+    executed as a few wide ones — on the MXU a conv with 40 output channels
+    costs nearly the same as one with 128+ (lanes are padded), so convs that
+    share a source tensor are grouped into one conv with concatenated
+    kernels, with the eval-mode BN affine folded into kernel+bias, and the
+    deeper downsample levels packed block-diagonally. Exact same math
+    (parity-tested); parameters/checkpoints are untouched — packing happens
+    at apply time from the standard param tree.
+    """
 
     num_branches: int
     channels: Sequence[int]
     num_blocks: int = 4
     remat: bool = False
+    packed: bool = True
 
     @nn.compact
     def __call__(self, xs: list[jax.Array], train: bool = False) -> list[jax.Array]:
@@ -60,6 +71,9 @@ class HRModule(nn.Module):
                     name=f"branches_{i}_{b}",
                 )(h, train)
             outs.append(h)
+
+        if self.packed and not train and not self.is_initializing():
+            return self._fuse_packed(outs)
 
         fused = []
         for i in range(self.num_branches):
@@ -87,12 +101,115 @@ class HRModule(nn.Module):
             fused.append(nn.relu(acc))
         return fused
 
+    def _folded(self, conv_name: str, bn_name: str):
+        """Conv kernel + bias with the eval-mode BN affine folded in (fp32)."""
+        from handmvnet_tpu.models.layers import BN_EPS
+
+        p = self.variables["params"]
+        st = self.variables["batch_stats"]
+        k = jnp.asarray(p[conv_name]["kernel"], jnp.float32)
+        g = jnp.asarray(p[bn_name]["scale"], jnp.float32)
+        b = jnp.asarray(p[bn_name]["bias"], jnp.float32)
+        m = jnp.asarray(st[bn_name]["mean"], jnp.float32)
+        v = jnp.asarray(st[bn_name]["var"], jnp.float32)
+        s = g * jax.lax.rsqrt(v + BN_EPS)
+        return k * s, b - m * s
+
+    def _fuse_packed(self, outs: list[jax.Array]) -> list[jax.Array]:
+        n = self.num_branches
+        dn = ("NHWC", "HWIO", "NHWC")
+        dtype = outs[0].dtype
+        contrib: dict[int, list[jax.Array]] = {i: [] for i in range(n)}
+
+        # upsample paths, grouped by source j: ONE 1x1 conv per source with
+        # concatenated (BN-folded) kernels, then split + nearest-upsample
+        for j in range(1, n):
+            kers, biases = zip(*(
+                self._folded(f"fuse_layers_{i}_{j}_0", f"fuse_layers_{i}_{j}_1")
+                for i in range(j)
+            ))
+            kcat = jnp.concatenate(kers, axis=-1).astype(dtype)
+            bcat = jnp.concatenate(biases, axis=-1).astype(dtype)
+            y = jax.lax.conv_general_dilated(
+                outs[j], kcat, (1, 1), "VALID", dimension_numbers=dn) + bcat
+            off = 0
+            for i in range(j):
+                c = self.channels[i]
+                contrib[i].append(_nearest_upsample(y[..., off:off + c], 2 ** (j - i)))
+                off += c
+
+        # downsample chains, level-synchronous per source j: level k applies
+        # every chain's k-th stride-2 conv in one packed conv. Level 0 convs
+        # share the source tensor (plain kernel concat); deeper levels take
+        # the previous packed output, so their kernels go in block-diagonal
+        # (each chain reads only its own slice).
+        for j in range(n - 1):
+            targets = list(range(j + 1, n))  # chain for target i has i-j convs
+            cur = outs[j]
+            # live[i] = (start, width) slice of `cur` holding chain i's input
+            live = {i: (0, cur.shape[-1]) for i in targets}
+            level = 0
+            while live:
+                finished = [i for i in live if i - j - 1 == level]
+                running = [i for i in live if i - j - 1 > level]
+                order = finished + running
+                kers, biases, widths, relus = [], [], [], []
+                in_ch = cur.shape[-1]
+                for i in order:
+                    last = i in finished
+                    k, b = self._folded(
+                        f"fuse_layers_{i}_{j}_{level}_0",
+                        f"fuse_layers_{i}_{j}_{level}_1",
+                    )
+
+                    if live[i] != (0, in_ch):
+                        # block-diagonal placement: zero rows outside this
+                        # chain's input slice
+                        start, _ = live[i]
+                        full = jnp.zeros(k.shape[:2] + (in_ch, k.shape[-1]), jnp.float32)
+                        k = jax.lax.dynamic_update_slice(
+                            full, k, (0, 0, start, 0))
+                    kers.append(k)
+                    biases.append(b)
+                    widths.append(k.shape[-1])
+                    relus.append(not last)
+                kcat = jnp.concatenate(kers, axis=-1).astype(dtype)
+                bcat = jnp.concatenate(biases, axis=-1).astype(dtype)
+                y = jax.lax.conv_general_dilated(
+                    cur, kcat, (2, 2), ((1, 1), (1, 1)), dimension_numbers=dn) + bcat
+                off = 0
+                new_live = {}
+                pieces = []
+                for i, w, rl in zip(order, widths, relus):
+                    piece = y[..., off:off + w]
+                    if i in live and i - j - 1 == level:
+                        contrib[i].append(piece)  # final conv of chain i (no ReLU)
+                    else:
+                        piece = nn.relu(piece)
+                        new_live[i] = (sum(p.shape[-1] for p in pieces), w)
+                        pieces.append(piece)
+                    off += w
+                if pieces:
+                    cur = pieces[0] if len(pieces) == 1 else jnp.concatenate(pieces, axis=-1)
+                    # slices recorded against the concatenated `cur`
+                live = new_live
+                level += 1
+
+        fused = []
+        for i in range(n):
+            acc = outs[i]
+            for y in contrib[i]:
+                acc = acc + y
+            fused.append(nn.relu(acc))
+        return fused
+
 
 class HRNetBackbone(nn.Module):
     """Input [B, 256, 256, 3] -> list of 4 maps (64^2..8^2)."""
 
     width: str = "w40"
     remat: bool = False  # rematerialize branch blocks in backward
+    packed: bool = True  # packed fuse lattice at eval time (see HRModule)
 
     @nn.compact
     def __call__(self, x: jax.Array, train: bool = False) -> list[jax.Array]:
@@ -138,6 +255,7 @@ class HRNetBackbone(nn.Module):
                     num_branches=num_branches,
                     channels=widths[:num_branches],
                     remat=self.remat,
+                    packed=self.packed,
                     name=f"stage{stage_no}_{m}",
                 )(xs, train=train)
         return xs

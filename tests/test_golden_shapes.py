@@ -65,3 +65,27 @@ class TestGoldenShapes:
         # 2D coords are in 256-crop pixels (x8 rescale from the 32^2 heatmap)
         coords = np.asarray(out["joints_crop_img"])
         assert coords.min() >= 0.0 and coords.max() <= 256.0
+
+
+def test_hrnet_packed_fuse_matches_unpacked():
+    """The eval-time packed fuse lattice (HRModule.packed: shared-source
+    kernel concat + BN folding + block-diagonal deeper levels) is exact
+    math — outputs must match the reference-style unpacked path to fp32
+    noise, from the SAME param tree."""
+    import jax
+    import jax.numpy as jnp
+
+    from handmvnet_tpu.models.backbones.hrnet import HRNetBackbone
+
+    rng = jax.random.PRNGKey(0)
+    x = jax.random.normal(rng, (2, 64, 64, 3), jnp.float32) * 0.3
+    unpacked = HRNetBackbone(width="w40", packed=False)
+    packed = HRNetBackbone(width="w40", packed=True)
+    v = unpacked.init(rng, x, False)
+    assert jax.tree.structure(v) == jax.tree.structure(packed.init(rng, x, False))
+
+    a = unpacked.apply(v, x, False)
+    b = packed.apply(v, x, False)
+    for ai, bi in zip(a, b):
+        rel = float(jnp.max(jnp.abs(ai - bi))) / float(jnp.max(jnp.abs(ai)))
+        assert rel < 1e-4
