@@ -75,7 +75,7 @@ def synthetic_batch(
         # (CLAUDE.md invariant; measured ~40x upload slowdown)
         import jax
 
-        with jax.default_device(jax.devices("cpu")[0]):
+        with jax.default_device(jax.local_devices(backend="cpu")[0]):
             hm_full = np.asarray(
                 render_gaussian_heatmaps(
                     joints_crop.reshape(b * v, j, 2), image_size, image_size

@@ -92,6 +92,22 @@ def replicated(mesh: Mesh) -> NamedSharding:
     return NamedSharding(mesh, P())
 
 
+def warmup_collectives(mesh: Mesh) -> None:
+    """Establish cross-process communication channels BEFORE any large
+    compile. Gloo (CPU multihost) sets its channels up lazily at the first
+    collective with a ~30 s key-exchange deadline; per-process compile-time
+    skew (one process compiling the train step for a minute while another
+    hits a warm cache) can blow past it and kill the job with
+    'Gloo initialization failed: DEADLINE_EXCEEDED'. One tiny all-reduce
+    right after mesh construction pins channel setup to a moment when every
+    process is synchronized. No-op single-process."""
+    if jax.process_count() == 1:
+        return
+    from jax.experimental import multihost_utils
+
+    multihost_utils.sync_global_devices("handmvnet_warmup_collectives")
+
+
 def replicate_state(tree, mesh: Mesh):
     """Replicate a locally-materialized pytree (train state) over the mesh.
 

@@ -130,7 +130,7 @@ def gt_triangulation_check(cfg: Config, split: str = "train", num_batches: int =
     import jax
     import jax.numpy as jnp
 
-    cpu = jax.devices("cpu")[0]
+    cpu = jax.local_devices(backend="cpu")[0]
 
     per_batch = []
     n = 0

@@ -238,6 +238,10 @@ def main(argv=None) -> None:
         print(f"[warning] shrinking mesh {requested} -> {usable} devices so each "
               f"process's slice divides batch_size={cfg.data.batch_size}")
     mesh = make_mesh(num_devices=usable)
+    if nproc > 1:
+        from handmvnet_tpu.parallel.mesh import warmup_collectives
+
+        warmup_collectives(mesh)  # gloo channel setup before the big compile
     n_dev = mesh.devices.size
     print(f"devices: {[str(d) for d in mesh.devices.flat]}")
 

@@ -62,7 +62,9 @@ def worker(args) -> None:
         make_optimizer,
         make_train_step,
     )
-    from handmvnet_tpu.parallel.mesh import data_sharding, global_batch, replicate_state
+    from handmvnet_tpu.parallel.mesh import (
+        data_sharding, global_batch, replicate_state, warmup_collectives,
+    )
 
     cfg = Config.from_yaml(str(REPO / "configs/release/HO3D_HandMvNet.yaml"))
     cfg = cfg.replace(
@@ -85,9 +87,10 @@ def worker(args) -> None:
         for s in range(args.steps)
     ]
 
+    mesh = make_mesh()
+    warmup_collectives(mesh)  # gloo channels before the long compiles
     tx = make_optimizer(cfg, steps_per_epoch=10)
     state = create_train_state(model, cfg, jax.random.PRNGKey(0), batches[0], tx=tx)
-    mesh = make_mesh()
     state = replicate_state(state, mesh)
     step = make_train_step(model, cfg, tx, mesh, accum_steps=1)
     sharding = data_sharding(mesh)
