@@ -276,3 +276,34 @@ class TestBatchLoader:
         assert len(batches) == 3
         assert batches[0]["full_rgb"].shape == (2, 5, 480, 640, 3)
         assert batches[0]["joints_cam"].shape == (2, 21, 3)
+
+
+class TestDevicePrefetch:
+    def test_prefetch_stage_yields_identical_batches(self, shard_dir):
+        """The double-buffered device-prefetch stage must be a pure
+        pipelining change: same batches, same order, same count as the
+        inline device_prepare path."""
+        import jax.numpy as jnp
+
+        from handmvnet_tpu.data.loader import BatchLoader
+        from handmvnet_tpu.data.webdataset import ShardDataset
+
+        urls = sorted(str(p) for p in shard_dir.glob("HO3D_mv_train*.tar"))
+
+        def parse(s):
+            return {"joints_cam": np.full((21, 3), float(int(s["__key__"])), np.float32)}
+
+        def prepare(batch):
+            return {"x": jnp.asarray(batch["joints_cam"])[:, 0, 0] * 2}
+
+        def run(device_prefetch):
+            loader = BatchLoader(
+                ShardDataset(urls, preprocess=parse), batch_size=2,
+                steps_per_epoch=3, device_prepare=prepare,
+                device_prefetch=device_prefetch,
+            )
+            return [b["x"].tolist() for b in loader]
+
+        out = run(False)
+        assert out == run(True)
+        assert len(out) == 3

@@ -145,8 +145,37 @@ class TestTrainStep:
         step = make_train_step(model, cfg, tx, mesh, accum_steps=1)
         state, losses = step(state, batch, jax.random.PRNGKey(3))
         assert np.isfinite(float(losses["loss"]))
-        # params stay fp32
+        # fp32 master params and fp32 BN running stats survive the bf16
+        # compute cast (true mixed precision, round 2)
         assert state.params["joints_decoder"]["joints_gcn1"]["weight"].dtype == jnp.float32
+        assert all(
+            leaf.dtype == jnp.float32 for leaf in jax.tree.leaves(state.batch_stats)
+        )
+
+    def test_bf16_overfit_single_batch(self):
+        """The mixed-precision path (params cast to bf16 for fwd/bwd, fp32
+        masters in the optimizer) must still optimize: 15 steps on one tiny
+        batch cut the loss substantially."""
+        import dataclasses
+
+        cfg = tiny_cfg()
+        cfg = cfg.replace(train=dataclasses.replace(
+            cfg.train, lr=3e-4, compute_dtype="bfloat16"))
+        model = tiny_model(cfg)
+        mesh = make_mesh(num_devices=1)
+        batch = synthetic_batch(batch_size=2, num_views=2, image_size=64,
+                                heatmap_size=8, seed=13)
+        tx = make_optimizer(cfg, steps_per_epoch=1000)
+        state = create_train_state(model, cfg, jax.random.PRNGKey(0), batch, tx=tx)
+        step = make_train_step(model, cfg, tx, mesh, accum_steps=1)
+        losses0 = None
+        for _ in range(15):
+            state, losses = step(state, batch, jax.random.PRNGKey(100))
+            if losses0 is None:
+                losses0 = float(losses["loss"])
+        final = float(losses["loss"])
+        assert np.isfinite(final)
+        assert final < 0.7 * losses0, (losses0, final)
 
     def test_seed_determinism(self):
         """Same seed -> bitwise-identical first step (the reference pins
