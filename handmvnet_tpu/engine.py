@@ -119,6 +119,13 @@ class MetricAverager:
         return out
 
 
+@jax.jit
+def _tree_add(a, b):
+    # module-level so every DeviceMetricAverager instance (one per epoch)
+    # shares one compiled executable instead of retracing a fresh lambda
+    return jax.tree.map(jnp.add, a, b)
+
+
 class DeviceMetricAverager:
     """MetricAverager that keeps the running sums ON DEVICE: one tiny jitted
     tree-add per update, a single device->host read in result().
@@ -131,12 +138,11 @@ class DeviceMetricAverager:
     def __init__(self) -> None:
         self._sums = None
         self._count = 0
-        self._add = jax.jit(lambda a, b: jax.tree.map(jnp.add, a, b))
 
     def update(self, metrics: Mapping[str, Any]) -> None:
         self._count += 1
         metrics = dict(metrics)
-        self._sums = metrics if self._sums is None else self._add(self._sums, metrics)
+        self._sums = metrics if self._sums is None else _tree_add(self._sums, metrics)
 
     def result(self) -> Dict[str, Any]:
         if self._sums is None:

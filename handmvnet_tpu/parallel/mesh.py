@@ -12,6 +12,7 @@ pipeline by process_index (data/loader.py).
 from __future__ import annotations
 
 import jax
+import jax.numpy as jnp
 import numpy as np
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
@@ -80,12 +81,33 @@ def global_batch(sharding: NamedSharding, batch) -> dict:
     if jax.process_count() == 1:
         return {k: jax.device_put(v, sharding) for k, v in batch.items()}
     nproc = jax.process_count()
+    local_devs = _local_mesh_devices(sharding.mesh)
     out = {}
     for k, v in batch.items():
-        v = np.asarray(v)
-        gshape = (v.shape[0] * nproc,) + v.shape[1:]
-        out[k] = jax.make_array_from_process_local_data(sharding, v, global_shape=gshape)
+        b_local = v.shape[0]
+        if b_local % len(local_devs):
+            raise ValueError(
+                f"local batch {b_local} for '{k}' does not divide over "
+                f"{len(local_devs)} local mesh devices"
+            )
+        gshape = (b_local * nproc,) + tuple(v.shape[1:])
+        per = b_local // len(local_devs)
+        # slice + device_put stays on-device for device-prepared batches
+        # (D2D scatter) — np.asarray here would be a device->host read on
+        # every training step, which the CLAUDE.md invariant forbids
+        pieces = [
+            jax.device_put(v[i * per:(i + 1) * per], d)
+            for i, d in enumerate(local_devs)
+        ]
+        out[k] = jax.make_array_from_single_device_arrays(gshape, sharding, pieces)
     return out
+
+
+def _local_mesh_devices(mesh: Mesh) -> list:
+    """This process's mesh devices, in mesh (flat) order — the order fixes
+    which slice of the global batch each local piece becomes."""
+    me = jax.process_index()
+    return [d for d in mesh.devices.flat if d.process_index == me]
 
 
 def replicated(mesh: Mesh) -> NamedSharding:
@@ -111,11 +133,21 @@ def warmup_collectives(mesh: Mesh) -> None:
 def replicate_state(tree, mesh: Mesh):
     """Replicate a locally-materialized pytree (train state) over the mesh.
 
-    Multi-process: every process holds an identical local copy (state init is
+    Every process holds an identical local copy (state init is
     deterministic), but committed single-device arrays can't be device_put
-    across hosts — round-trip through host memory first. Single-process:
-    plain device_put (no device->host transfer — that would permanently
-    degrade the tunneled TPU transport, see CLAUDE.md)."""
-    if jax.process_count() > 1:
-        tree = jax.tree.map(np.asarray, tree)
-    return jax.device_put(tree, replicated(mesh))
+    across hosts. Multi-process: broadcast each leaf to this process's mesh
+    devices (D2D) and assemble the replicated global array from the
+    addressable copies — no device->host transfer (which would permanently
+    degrade a tunneled TPU transport, see CLAUDE.md). Single-process: plain
+    device_put."""
+    if jax.process_count() == 1:
+        return jax.device_put(tree, replicated(mesh))
+    local_devs = _local_mesh_devices(mesh)
+    shard = replicated(mesh)
+
+    def put(x):
+        x = jnp.asarray(x)
+        pieces = [jax.device_put(x, d) for d in local_devs]
+        return jax.make_array_from_single_device_arrays(x.shape, shard, pieces)
+
+    return jax.tree.map(put, tree)

@@ -27,22 +27,33 @@ from handmvnet_tpu.config import Config
 _PREFIX = {"ho3d": "HO3D", "dexycb": "DexYCB", "mvhand": "MVHand"}
 
 
-def ensure_dataset(cfg: Config, num_shards: int = 3, samples_per_shard: int = 2) -> str:
+def ensure_dataset(cfg: Config, samples_per_shard: int = 2) -> str:
     """Return a dataset_dir that has shards for cfg.data.name; fabricate
     consistent synthetic ones under ``outputs/sanity_data/<name>`` if the
-    configured directory has none."""
+    configured directory has none.
+
+    The shard count per split must match the dataset class's brace pattern
+    exactly — the python tar reader opens every expanded URL (a partial set
+    crashes it), and with HO3D's [first, last]-shards-as-val rule a partial
+    set would silently shift which samples land in each split."""
     from handmvnet_tpu.data.synthetic import write_synthetic_ho3d_shards
+    from handmvnet_tpu.data.webdataset import brace_expand
+    from handmvnet_tpu.train import DATASETS
 
     prefix = _PREFIX[cfg.data.name]
     configured = Path(cfg.data.dataset_dir)
     if list(configured.glob(f"{prefix}_mv_*.tar")):
         return str(configured)
+    ds_cls = DATASETS[cfg.data.name]
     out = Path("outputs/sanity_data") / cfg.data.name
     if not list(out.glob(f"{prefix}_mv_*.tar")):
-        for split, seed in (("train", 0), ("test", 7)):
+        for split, pattern, seed in (
+            ("train", ds_cls.train_pattern, 0),
+            ("test", ds_cls.test_pattern, 7),
+        ):
             write_synthetic_ho3d_shards(
                 out,
-                num_shards=num_shards,
+                num_shards=len(brace_expand(pattern)),
                 samples_per_shard=samples_per_shard,
                 num_views=cfg.data.num_views,
                 split=split,
@@ -87,16 +98,21 @@ def gt_overlay_panels(cfg: Config, split: str = "train", out_dir: str | Path | N
     from handmvnet_tpu.data.pipeline import preprocess_views
     from handmvnet_tpu.vis import HandPoseVisualizer
 
+    import jax
+
     batch = next(iter_batches(cfg, split, batch_size=idx + 1))
     # the 256^2 normalized crops + GT heatmaps come from the same jitted
-    # device pipeline the trainer uses (train.make_device_prepare)
+    # pipeline the trainer uses (train.make_device_prepare) — pinned to the
+    # CPU backend: this is host-side analysis, and reading a TPU result back
+    # would permanently degrade a tunneled transport (CLAUDE.md invariant)
     any_visible = ~np.all(batch["joints_img_mask"], axis=-1)
-    rgb, heatmap = preprocess_views(
-        batch["full_rgb"], batch["bboxes"], batch["joints_crop_img"],
-        any_visible, image_size=cfg.data.image_size,
-        heatmap_size=cfg.data.heatmap_size, augment=False,
-    )
-    batch = dict(batch, rgb=np.asarray(rgb), heatmap=np.asarray(heatmap))
+    with jax.default_device(jax.local_devices(backend="cpu")[0]):
+        rgb, heatmap = preprocess_views(
+            batch["full_rgb"], batch["bboxes"], batch["joints_crop_img"],
+            any_visible, image_size=cfg.data.image_size,
+            heatmap_size=cfg.data.heatmap_size, augment=False,
+        )
+        batch = dict(batch, rgb=np.asarray(rgb), heatmap=np.asarray(heatmap))
     vis = HandPoseVisualizer(batch)
     panels = {
         "joints2d_full": vis.visualize_joints_2d_on_full_image(idx),

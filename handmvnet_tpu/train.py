@@ -323,6 +323,7 @@ def main(argv=None) -> None:
 
     signal.signal(signal.SIGTERM, _on_sigterm)
 
+    vis_val_loader = None
     for epoch in range(start_epoch, cfg.train.epochs):
         t0 = time.time()
         # losses accumulate on device; ONE host sync per epoch (per-step
@@ -354,7 +355,20 @@ def main(argv=None) -> None:
         if last_batch is not None:
             vis_hook(state, last_batch, epoch, "train")
         if (epoch + 1) % max(1, cfg.train.vis_every_n_epochs) == 0:
-            vis_hook(state, shard(next(iter(val_loader))), epoch, "val")
+            # dedicated one-shot loader: pulling from val_loader's persistent
+            # stream would steal ~prefetch-depth batches from the next
+            # evaluate() pass (shifting the val window that picks the best
+            # checkpoint) and leak its producer/preparer threads
+            if vis_val_loader is None:
+                vis_val_loader = BatchLoader(
+                    DATASETS[cfg.data.name](
+                        cfg.data, "val", split_index=jax.process_index(),
+                        split_count=jax.process_count(),
+                    ),
+                    cfg.data.batch_size, steps_per_epoch=1,
+                    device_prepare=make_device_prepare(cfg, False),
+                )
+            vis_hook(state, shard(next(iter(vis_val_loader))), epoch, "val")
         if logger is not None:
             logger.log(
                 {

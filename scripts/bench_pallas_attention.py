@@ -5,15 +5,18 @@ vs off.
 
 Run from the repo root:  python scripts/bench_pallas_attention.py
 
-Recorded result (2026-08-16, TPU v5 lite via the axon transport, 8-view
-flagship protocol, vertices on, fast-mode transport — see
-scripts/probe_slowmode.py):
+Recorded result (2026-08-17, TPU v5 lite via the axon transport, 8-view
+flagship protocol, vertices on, trustworthy scalar-read barriers — the
+earlier 5015/4643 figures were phantom-barrier artifacts, see bench.py):
 
-    end-to-end (batch 1, 8 views, chunked-sync best-of-3, 600 iters):
-        bf16  pallas OFF 5015.2 FPS   ON 4643.4 FPS
-        fp32  pallas OFF 4807.5 FPS   ON 3913.8 FPS
-    kernel-level numerics: max_abs_err 1.2e-4 fp32 / 2.9e-3 bf16 vs the
-    jnp path (default MXU precision), compile ~0.5 s.
+    end-to-end device_fps (K frames per dispatch, amortized relay RPC):
+        bf16  pallas ON 604.7   OFF ~626 (separate run, +-4% noise band)
+        fp32  pallas ON 583.5   OFF ~604
+    kernel-only microbench: bf16 262 (pallas) vs 276 us (jnp);
+        fp32 292 vs 894 us — the kernel wins in isolation, XLA's fusion
+        into the surrounding projections wins end-to-end.
+    kernel numerics: max_abs_err 1.2e-4 fp32 / 2.9e-3 bf16 vs the jnp
+    path (default MXU precision), compile ~0.6 s.
 
 Conclusion: the Mosaic compile hang seen in round 1 is gone — the kernel
 compiles in ~0.5 s and matches the jnp path to MXU precision — but at 168
