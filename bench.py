@@ -143,7 +143,7 @@ def run_protocol(cfg, args, dtype_name: str) -> tuple[float, float]:
             done += n
         return time.perf_counter() - t0
 
-    total = min(measure() for _ in range(5))
+    total = min(measure() for _ in range(3))
     fps = args.iters * args.batch / total
     p50_ms = float(np.percentile(lat, 50) * 1e3)
 
