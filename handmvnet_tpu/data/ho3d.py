@@ -188,8 +188,13 @@ class MultiviewTarDataset:
         reservoir shuffle for training."""
         from handmvnet_tpu.data.native_loader import NativeShardLoader
 
+        import zlib
+
         urls = list(self._native_urls)
-        rng = np.random.default_rng(42 + hash(self.split) % 10000)
+        # stable split salt: python's hash() is randomized per process
+        # (PYTHONHASHSEED), which silently broke run-to-run reproducibility
+        # of the native shard/reservoir shuffle
+        rng = np.random.default_rng(42 + zlib.crc32(self.split.encode()) % 10000)
         if self.split == "train" and not self._native_sample_split:
             # sample-split mode needs an identical shard order on every
             # process for the ordinal partition to be exact

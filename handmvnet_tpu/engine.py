@@ -252,6 +252,28 @@ def make_vertices_fn(cfg: Config) -> Callable | None:
         return None
 
 
+_METRICS_FN_CACHE: Dict[tuple, Callable] = {}
+
+
+def _cached_metrics_fn(auc_thresholds, root_relative: bool, vertices_fn):
+    key = (tuple(auc_thresholds), bool(root_relative), id(vertices_fn))
+    fn = _METRICS_FN_CACHE.get(key)
+    if fn is None:
+        import functools
+
+        fn = jax.jit(
+            functools.partial(
+                pose_metrics_device,
+                auc_thresholds=auc_thresholds,
+                mask_invisible=True,
+                root_relative=root_relative,
+                vertices_fn=vertices_fn,
+            )
+        )
+        _METRICS_FN_CACHE[key] = fn
+    return fn
+
+
 def evaluate(
     eval_step: Callable,
     state,
@@ -262,17 +284,12 @@ def evaluate(
     prepare: Callable | None = None,
 ) -> Dict[str, Any]:
     """Run one evaluation pass and return averaged metrics. The metric
-    assembly is jitted once; each batch costs a single host sync."""
-    import functools
-
-    metrics_fn = jax.jit(
-        functools.partial(
-            pose_metrics_device,
-            auc_thresholds=cfg.auc_thresholds,
-            mask_invisible=True,
-            root_relative=cfg.train.root_relative,
-            vertices_fn=vertices_fn,
-        )
+    assembly is jitted once per distinct configuration (cached across
+    epochs: a fresh jit(partial(...)) per call would retrace + recompile
+    the whole metrics program — including the MANO IK/LBS graph when
+    vertices_fn is set — every validation pass)."""
+    metrics_fn = _cached_metrics_fn(
+        cfg.auc_thresholds, cfg.train.root_relative, vertices_fn
     )
     avg = DeviceMetricAverager()  # one host sync per epoch, not per batch
     for batch in loader:

@@ -75,7 +75,6 @@ def main(argv=None) -> None:
     elif args.checkpoint:
         from handmvnet_tpu.checkpoint import restore_checkpoint
 
-        template = _random_variables(model, 0, rgb, bboxes, intr)
         state = restore_checkpoint(args.checkpoint, None)
         variables = {
             "params": state["params"] if "params" in state else state,

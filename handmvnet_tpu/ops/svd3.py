@@ -132,11 +132,27 @@ def svd3x3(h: jax.Array, polish_sweeps: int = 2):
     # orthogonal completion via double cross product
     # Gram-Schmidt polish: close singular values leave H V /s columns a few
     # ulps off orthogonal in fp32
+    def unit(x, fallback):
+        # safe normalization: a (near-)zero column — H itself ~0, e.g. all
+        # points collapsed to one location — must yield an arbitrary
+        # orthonormal completion like numpy's SVD, not 0/0 = NaN (which
+        # would poison pa_mpjpe epoch sums and the IK alignment)
+        n = jnp.linalg.norm(x, axis=-1, keepdims=True)
+        ok = n > 1e-20
+        return jnp.where(ok, x / jnp.where(ok, n, 1.0), fallback)
+
+    e0 = jnp.zeros_like(u_raw[..., :, 0]).at[..., 0].set(1.0)
     u0 = u_raw[..., :, 0] / jnp.maximum(s[..., 0:1], 1e-12)
-    u0 = u0 / jnp.linalg.norm(u0, axis=-1, keepdims=True)
+    u0 = unit(u0, e0)
     u1 = u_raw[..., :, 1] / jnp.maximum(s[..., 1:2], 1e-12)
     u1 = u1 - jnp.sum(u1 * u0, axis=-1, keepdims=True) * u0
-    u1 = u1 / jnp.linalg.norm(u1, axis=-1, keepdims=True)
+    # fallback orthogonal to u0: cross with the axis least aligned with it
+    ey = jnp.zeros_like(u0).at[..., 1].set(1.0)
+    ez = jnp.zeros_like(u0).at[..., 2].set(1.0)
+    alt = jnp.where(jnp.abs(u0[..., 2:3]) > 0.9, ey, ez)
+    u1_fb = jnp.cross(u0, alt)
+    u1_fb = u1_fb / jnp.linalg.norm(u1_fb, axis=-1, keepdims=True)
+    u1 = unit(u1, u1_fb)
     u2_cross = jnp.cross(u0, u1)
     u2_raw = u_raw[..., :, 2] / jnp.maximum(s[..., 2:3], 1e-12)
     # keep the raw column's orientation; use the cross product's direction

@@ -161,15 +161,21 @@ def make_train_step(model, cfg: Config, tx, mesh: Mesh, accum_steps: int = 1) ->
                 dict(batch),
             )
 
-            def scan_body(carry, mb):
+            def scan_body(carry, mb_and_idx):
+                mb, micro_idx = mb_and_idx
                 grads_acc, bs = carry
-                grads, (bs_new, losses, _) = grad_fn(state.params, bs, mb, rng)
+                # fresh dropout masks per microbatch (the reference's
+                # accumulate_grad_batches advances torch's global RNG per
+                # forward; a shared key would correlate the masks)
+                mb_rng = jax.random.fold_in(rng, micro_idx)
+                grads, (bs_new, losses, _) = grad_fn(state.params, bs, mb, mb_rng)
                 grads_acc = jax.tree.map(jnp.add, grads_acc, grads)
                 return (grads_acc, bs_new), losses
 
             zero_grads = jax.tree.map(jnp.zeros_like, state.params)
             (grads, new_bs), losses = jax.lax.scan(
-                scan_body, (zero_grads, state.batch_stats), micro
+                scan_body, (zero_grads, state.batch_stats),
+                (micro, jnp.arange(accum_steps)),
             )
             grads = jax.tree.map(lambda g: g / accum_steps, grads)
             losses = jax.tree.map(lambda x: x.mean(), losses)

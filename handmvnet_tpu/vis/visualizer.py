@@ -96,6 +96,16 @@ class HandPoseVisualizer:
             faces = close_mano_faces(synthetic_mano_model().faces)
         self.faces = np.asarray(faces, np.int32)
 
+    def _root_idx(self, idx: int) -> int:
+        """The view whose camera frame the 3D labels/predictions live in
+        (HO3D 0, DexYCB 2, MVHand 3 — reference per-dataset root_idx).
+        Hardcoding 0 mis-projects every non-HO3D overlay."""
+        r = self.batch.get("root_idx")
+        if r is None:
+            return 0
+        r = np.asarray(r)
+        return int(r.flat[min(idx, r.size - 1)])
+
     # ------------------------------------------------------------- images
     def _views(self, key: str, idx: int) -> np.ndarray:
         arr = self.batch[key][idx]
@@ -209,7 +219,7 @@ class HandPoseVisualizer:
         projected = np.asarray(
             reproject_to_views(
                 jnp.asarray(joints[None] / 1000.0),
-                0,
+                self._root_idx(idx),
                 jnp.asarray(self.batch["intrinsic"][idx][None]),
                 jnp.asarray(self.batch["extrinsic"][idx][None]),
             )
@@ -231,7 +241,7 @@ class HandPoseVisualizer:
         projected = np.asarray(
             reproject_to_views(
                 jnp.asarray(verts[None] / 1000.0),
-                0,
+                self._root_idx(idx),
                 jnp.asarray(self.batch["intrinsic"][idx][None]),
                 jnp.asarray(self.batch["extrinsic"][idx][None]),
             )
@@ -289,7 +299,7 @@ class HandPoseVisualizer:
         root-frame (vertices + root) moved through inv(T_v) @ T_root."""
         verts = (self.batch["vertices"][idx] + self.batch["root_joint"][idx]) / 1000.0
         extr = self.batch["extrinsic"][idx]  # [V, 4, 4] cam->world
-        rel = np.linalg.inv(extr) @ extr[0]
+        rel = np.linalg.inv(extr) @ extr[self._root_idx(idx)]
         ph = np.concatenate([verts, np.ones_like(verts[:, :1])], axis=-1)
         return np.einsum("vij,nj->vni", rel, ph)[..., :3] * 1000.0
 
@@ -338,7 +348,7 @@ class HandPoseVisualizer:
         verts = self.batch["vertices"][idx] + self.batch["root_joint"][idx]
         v2d = np.asarray(
             reproject_to_views(
-                jnp.asarray(verts[None] / 1000.0), 0,
+                jnp.asarray(verts[None] / 1000.0), self._root_idx(idx),
                 jnp.asarray(self.batch["intrinsic"][idx][None]),
                 jnp.asarray(self.batch["extrinsic"][idx][None]),
             )

@@ -43,3 +43,43 @@ class TestSvd3:
         av = np.einsum("...ij,...jk->...ik", a, np.asarray(v))
         wv = np.asarray(v) * np.asarray(w)[..., None, :]
         np.testing.assert_allclose(av, wv, atol=1e-3)
+
+
+class TestDegenerateInputs:
+    def test_zero_matrix_no_nan(self):
+        """H = 0 (all points collapsed to one location) must return a finite
+        orthogonal U with s = 0, like numpy's SVD — not 0/0 NaNs that poison
+        pa_mpjpe epoch sums."""
+        import jax.numpy as jnp
+
+        from handmvnet_tpu.ops.svd3 import svd3x3
+
+        u, s, vt = svd3x3(jnp.zeros((2, 3, 3)))
+        assert np.isfinite(np.asarray(u)).all()
+        assert np.allclose(np.asarray(s), 0.0)
+        ortho = np.einsum("bij,bkj->bik", np.asarray(u), np.asarray(u))
+        assert np.allclose(ortho, np.eye(3), atol=1e-5)
+
+    def test_constant_predictions_pa_mpjpe_finite(self):
+        import jax.numpy as jnp
+
+        from handmvnet_tpu import metrics as M
+
+        pred = jnp.ones((2, 21, 3)) * 0.1  # zero variance
+        gt = jnp.asarray(np.random.default_rng(0).normal(size=(2, 21, 3)) * 0.03)
+        val = float(M.pa_mpjpe(pred, gt))
+        assert np.isfinite(val)
+
+    def test_rank1_no_nan(self):
+        """Rank-1 H (points on a line): s1 = s2 = 0 columns need the
+        orthogonal-completion fallback."""
+        import jax.numpy as jnp
+
+        from handmvnet_tpu.ops.svd3 import svd3x3
+
+        a = jnp.asarray([[1.0, 2.0, 3.0]])
+        h = a[:, :, None] * a[:, None, :]  # rank 1
+        u, s, vt = svd3x3(h)
+        assert np.isfinite(np.asarray(u)).all()
+        rec = np.asarray(u) @ np.diag(np.asarray(s)[0]) @ np.asarray(vt)[0]
+        assert np.allclose(rec, np.asarray(h)[0], atol=2e-3)  # fp32 roundoff at |h|~9
