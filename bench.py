@@ -67,9 +67,10 @@ def _random_variables(model, rng_seed, *example_args):
     return jax.tree.unflatten(treedef, leaves)
 
 
-def run_protocol(cfg, args, dtype_name: str) -> tuple[float, float]:
+def run_protocol(cfg, args, dtype_name: str) -> tuple[float, float, float]:
     """One full timed protocol at the given dtype. Returns
-    (best-of-3 chunked-sync FPS, fully-blocking p50 latency in ms)."""
+    (best-of-N chunked-sync FPS, fully-blocking p50 latency in ms,
+    scan-probe device FPS)."""
     import jax
     import jax.numpy as jnp
 

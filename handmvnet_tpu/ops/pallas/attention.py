@@ -132,11 +132,12 @@ def fused_attention(
     if use_pallas is None:
         # Default OFF on measured evidence (scripts/bench_pallas_attention.py,
         # TPU v5e, re-measured with trustworthy read barriers): the kernel
-        # compiles fine (the round-1 Mosaic hang is gone) and wins the
-        # kernel-only microbench (fp32 292 vs 894 us), but end-to-end at the
-        # 8-view protocol it is noise-equal-or-worse (device_fps 605 ON vs
-        # ~626 OFF bf16) — pallas_call pads 168->176 tokens and breaks
+        # compiles fine (the round-1 Mosaic hang is gone), but end-to-end at
+        # the 8-view protocol it is noise-equal-or-worse (device_fps 605 ON
+        # vs ~626 OFF bf16) — pallas_call pads 168->176 tokens and breaks
         # producer/consumer fusion with the surrounding projections.
+        # (Kernel-only comparisons are unresolvable through the relayed
+        # harness: per-call dispatch dwarfs ~10 us of device work.)
         # Opt in with use_pallas=True for longer sequences where tiling
         # would matter.
         use_pallas = False

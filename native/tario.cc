@@ -261,14 +261,22 @@ class Loader {
         flush();
         current_key = key;
       }
-      if (field.rfind("image_", 0) == 0 && field.size() > 6) {
+      if (field.rfind("image_", 0) == 0 && field.size() > 6 &&
+          field[6] >= '0' && field[6] <= '9') {
         int view = atoi(field.c_str() + 6);
         if (view >= 0 && view < num_views_) {
           auto& buf = sample->images[view];
+          // count a view only on its FIRST successful decode: a duplicate
+          // or misnamed entry must not make `decoded` reach num_views_
+          // while another view is still unfilled (that would emit stale
+          // bytes from the previous sample into the caller's buffer)
+          bool fresh = buf.empty();
           buf.resize(static_cast<size_t>(height_) * width_ * 3);
           if (decode_jpeg_rgb(entry.payload.data(), entry.payload.size(),
                               height_, width_, buf.data())) {
-            ++decoded;
+            if (fresh) ++decoded;
+          } else if (fresh) {
+            buf.clear();  // failed decode leaves the view unfilled -> drop
           }
         }
       } else if (field == "label.pyd") {
@@ -318,10 +326,10 @@ int tario_next(void* handle, uint8_t* img_out, uint8_t* label_out,
   auto* loader = static_cast<Loader*>(handle);
   auto sample = loader->next();
   if (!sample) return kTarioEnd;
-  size_t view_bytes = sample->images.empty() ? 0 : sample->images[0].size();
+  size_t off = 0;
   for (size_t v = 0; v < sample->images.size(); ++v) {
-    memcpy(img_out + v * view_bytes, sample->images[v].data(),
-           sample->images[v].size());
+    memcpy(img_out + off, sample->images[v].data(), sample->images[v].size());
+    off += sample->images[v].size();
   }
   if (static_cast<int>(sample->label.size()) > label_cap) return kTarioError;
   memcpy(label_out, sample->label.data(), sample->label.size());

@@ -12,9 +12,12 @@ earlier 5015/4643 figures were phantom-barrier artifacts, see bench.py):
     end-to-end device_fps (K frames per dispatch, amortized relay RPC):
         bf16  pallas ON 604.7   OFF ~626 (separate run, +-4% noise band)
         fp32  pallas ON 583.5   OFF ~604
-    kernel-only microbench: bf16 262 (pallas) vs 276 us (jnp);
-        fp32 292 vs 894 us — the kernel wins in isolation, XLA's fusion
-        into the surrounding projections wins end-to-end.
+    kernel-only microbench: NOT resolvable through this relay — with read
+        barriers both paths measure 400-700 us/call, dominated by per-call
+        dispatch turnaround (the kernel itself is ~10 us of device work at
+        168 tokens); the earlier "pallas wins in isolation" figures were
+        phantom-barrier artifacts. The e2e device_fps A/B above is the
+        meaningful comparison.
     kernel numerics: max_abs_err 1.2e-4 fp32 / 2.9e-3 bf16 vs the jnp
     path (default MXU precision), compile ~0.6 s.
 
@@ -65,11 +68,13 @@ def kernel_bench() -> None:
             ("pallas", lambda: _fused_attention_pallas(q, k, v, 0.125)),
             ("jnp   ", lambda: jpath(q, k, v)),
         ):
-            fn().block_until_ready()
+            # scalar value read as the barrier — block_until_ready can
+            # return before queued executions finish on this transport
+            _ = float(fn()[0, 0, 0, 0])
             t0 = time.time()
             for _ in range(200):
                 o = fn()
-            o.block_until_ready()
+            _ = float(o[0, 0, 0, 0])
             print(f"{dtype.__name__} {name}: {(time.time() - t0) / 200 * 1e6:.1f} us/call")
 
 

@@ -34,10 +34,17 @@ IMAGE_SIZE = 64
 
 
 def worker(args) -> None:
-    os.environ["XLA_FLAGS"] = (
-        os.environ.get("XLA_FLAGS", "")
-        + f" --xla_force_host_platform_device_count={TOTAL_DEVICES // args.num_processes}"
+    # strip any pre-existing instance of the flag (e.g. set by a pytest
+    # conftest or dryrun_multichip) before appending ours — two conflicting
+    # instances make jax.device_count() unpredictable
+    flags = [
+        f for f in os.environ.get("XLA_FLAGS", "").split()
+        if not f.startswith("--xla_force_host_platform_device_count")
+    ]
+    flags.append(
+        f"--xla_force_host_platform_device_count={TOTAL_DEVICES // args.num_processes}"
     )
+    os.environ["XLA_FLAGS"] = " ".join(flags)
     import jax
 
     jax.config.update("jax_platforms", "cpu")
@@ -126,7 +133,14 @@ def launch(args) -> int:
             )
             for pid in range(nproc)
         ]
-        rcs = [p.wait(timeout=600) for p in procs]
+        try:
+            rcs = [p.wait(timeout=600) for p in procs]
+        finally:
+            # a hung worker must not leak (it would keep the coordinator
+            # port bound and wedge the next invocation)
+            for p in procs:
+                if p.poll() is None:
+                    p.kill()
         if any(rcs):
             print(f"FAIL: worker exit codes {rcs} for nproc={nproc}")
             return 1

@@ -13,7 +13,6 @@ from __future__ import annotations
 import argparse
 import sys
 import time
-from functools import partial
 from pathlib import Path
 
 sys.path.insert(0, str(Path(__file__).resolve().parents[1]))
@@ -73,12 +72,7 @@ def main() -> None:
     t_backbone = timed_scan(
         lambda v, xx: backbone.apply(v, xx, False), vb, x, "full backbone")
 
-    # ---- stem + layer1 + transition1 (reuse the backbone's own params via a
-    # truncated apply: run the full graph but return early is not expressible;
-    # instead init standalone modules with the same shapes — timings only)
-    class StemLayer1(HRNetBackbone):
-        pass  # structure reused below via manual construction
-
+    # ---- stem + layer1 (standalone module with the same shapes — timings only)
     from flax import linen as nn
     from handmvnet_tpu.models.backbones.resnet import Bottleneck
     from handmvnet_tpu.models.layers import batch_norm, conv

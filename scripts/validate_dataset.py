@@ -124,7 +124,11 @@ def main(argv=None) -> int:
     corrected: dict[str, int] = {}
     for split in args.splits:
         count, errors = validate_split(ds_cls, cfg, split)
-        expect = ds_cls.split_sizes.get(split)
+        # num_samples() honors add_val_to_train (train -> train+val), which
+        # every release config enables; comparing against the raw
+        # split_sizes[split] spuriously flagged fully-correct datasets
+        ds = ds_cls(cfg.data, split, use_native=False)
+        expect = ds.num_samples()
         status = "OK"
         if errors:
             status = "FAIL"
@@ -135,8 +139,7 @@ def main(argv=None) -> int:
             if args.strict_sizes:
                 failed = True
         print(f"[{split}] {count} samples across "
-              f"{len(ds_cls(cfg.data, split, use_native=False)._split_urls(split))} "
-              f"shards — {status}")
+              f"{len(ds._split_urls(split))} shards — {status}")
         for e in errors[:20]:
             print(f"    {e}")
         if len(errors) > 20:

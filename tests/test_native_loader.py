@@ -94,3 +94,37 @@ class TestNativeSampleSplit:
                 TinyHO3D(cfg.data, "test", use_native=True)}
         assert set().union(*parts) == full
         assert sum(len(p) for p in parts) == len(full)  # no duplicates
+
+
+class TestMalformedShards:
+    def test_duplicate_view_entry_does_not_emit_stale_pixels(
+        self, built_lib, shards, tmp_path
+    ):
+        """A sample whose tar carries image_0 twice but no image_1 must be
+        DROPPED — before the per-view fill tracking, the decode counter
+        reached num_views and the sample was emitted with the previous
+        sample's pixels in the missing view."""
+        import io
+        import tarfile
+
+        src = shards[0]
+        bad = tmp_path / "bad.tar"
+        with tarfile.open(src) as tin, tarfile.open(bad, "w") as tout:
+            target = None
+            for m in tin.getmembers():
+                data = tin.extractfile(m).read()
+                base = m.name.rsplit("/", 1)[-1]
+                key = base.split(".")[0]
+                if target is None and base.endswith("image_1.jpg"):
+                    target = key
+                if key == target and base.endswith("image_1.jpg"):
+                    # replace image_1 with a second copy of image_0
+                    m.name = m.name.replace("image_1.jpg", "image_0.jpg")
+                tout.addfile(m, io.BytesIO(data))
+        assert target is not None
+
+        loader = built_lib.NativeShardLoader([str(bad)], num_views=5, n_threads=1)
+        keys = [key for key, _, _ in loader]
+        loader.close()
+        assert target not in keys  # incomplete sample dropped
+        assert len(keys) == 2  # the other samples still come through
