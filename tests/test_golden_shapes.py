@@ -67,6 +67,23 @@ class TestGoldenShapes:
         assert coords.min() >= 0.0 and coords.max() <= 256.0
 
 
+def test_hrnet_packed_fuse_matches_unpacked_w64():
+    """w64 widths exercise different block-diagonal packing shapes."""
+    import jax
+    import jax.numpy as jnp
+
+    from handmvnet_tpu.models.backbones.hrnet import HRNetBackbone
+
+    rng = jax.random.PRNGKey(1)
+    x = jax.random.normal(rng, (1, 64, 64, 3), jnp.float32) * 0.3
+    v = HRNetBackbone(width="w64", packed=False).init(rng, x, False)
+    a = HRNetBackbone(width="w64", packed=False).apply(v, x, False)
+    b = HRNetBackbone(width="w64", packed=True).apply(v, x, False)
+    for ai, bi in zip(a, b):
+        rel = float(jnp.max(jnp.abs(ai - bi))) / float(jnp.max(jnp.abs(ai)))
+        assert rel < 1e-4
+
+
 def test_hrnet_packed_fuse_matches_unpacked():
     """The eval-time packed fuse lattice (HRModule.packed: shared-source
     kernel concat + BN folding + block-diagonal deeper levels) is exact
