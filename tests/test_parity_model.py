@@ -299,6 +299,30 @@ class TestHourglassParity:
         np.testing.assert_allclose(
             np.transpose(np.asarray(final), (0, 3, 1, 2)), o_final.numpy(), atol=1e-3)
 
+    @pytest.mark.slow
+    def test_bisected_hourglass(self, rng):
+        """Twin-stream (heatmap + mask) variant with converted weights —
+        previously only shape-tested (reference hourglass.py:173-285)."""
+        from handmvnet_tpu.models.backbones.hourglass import StackedBisectedHourglass
+
+        tmodel = REF.hourglass.StackedBisectedHourglass(
+            nstack=2, inp_dim=32, oup_dim=21, recur_hg=2, start=True
+        ).eval()
+        x = rng.normal(size=(1, 3, 64, 64)).astype(np.float32)
+        with torch.no_grad():
+            o_feat, o_hm, o_final, o_mask = tmodel(torch.from_numpy(x))
+        converted = convert_torch_state_dict(tmodel.state_dict())
+        model = StackedBisectedHourglass(nstack=2, inp_dim=32, oup_dim=21, recur_hg=2)
+        feats, hm, final, mask = model.apply(converted, jnp.asarray(to_nhwc(x)))
+        np.testing.assert_allclose(
+            np.transpose(np.asarray(feats), (0, 3, 1, 2)), o_feat.numpy(), atol=1e-3)
+        np.testing.assert_allclose(
+            np.transpose(np.asarray(hm), (0, 1, 4, 2, 3)), o_hm.numpy(), atol=1e-3)
+        np.testing.assert_allclose(
+            np.transpose(np.asarray(final), (0, 3, 1, 2)), o_final.numpy(), atol=1e-3)
+        np.testing.assert_allclose(
+            np.transpose(np.asarray(mask), (0, 1, 4, 2, 3)), o_mask.numpy(), atol=1e-3)
+
 
 def build_torch_hrnet_model(cfg: Config):
     """Reference-submodule wiring for the HRNet release variant
