@@ -111,3 +111,122 @@ class TestManoDecoder:
         np.testing.assert_allclose(
             np.asarray(vl)[..., 0], -np.asarray(vr)[..., 0], atol=1e-3
         )
+
+
+class TestDormantParityVsTorch:
+    """Converted-weight numerical parity for the dormant module zoo
+    (previously shape-smoked only). The reference modules are the oracles."""
+
+    def _ref(self):
+        import sys
+        from pathlib import Path
+
+        sys.path.insert(0, str(Path(__file__).resolve().parent))
+        from reference_oracle import import_reference_modules
+
+        return import_reference_modules()
+
+    def test_posenet_parity(self):
+        import torch
+
+        from handmvnet_tpu.checkpoint import convert_torch_state_dict
+        from handmvnet_tpu.models.nets import PoseNet
+
+        REF = self._ref()
+        torch.manual_seed(0)
+        tmodel = REF.nets.PoseNet([128, 64, 21]).eval()
+        x = np.random.default_rng(1).normal(size=(2, 128, 32, 32)).astype(np.float32)
+        with torch.no_grad():
+            t_coords, t_hm = tmodel(torch.from_numpy(x))
+        converted = convert_torch_state_dict(tmodel.state_dict())
+        m = PoseNet(channels=(64, 21))
+        coords, hm = m.apply(converted, jnp.transpose(jnp.asarray(x), (0, 2, 3, 1)))
+        np.testing.assert_allclose(np.asarray(hm), t_hm.numpy(), atol=1e-4)
+        np.testing.assert_allclose(np.asarray(coords), t_coords.numpy(), atol=2e-3)
+
+    def test_graph_cheb_conv_net_parity(self):
+        import torch
+
+        from handmvnet_tpu.checkpoint import convert_torch_state_dict
+        from handmvnet_tpu.models.nets import GraphChebConvNet
+
+        REF = self._ref()
+        torch.manual_seed(0)
+        tmodel = REF.nets.GraphChebConvNet(in_dim=32, out_dim=3, hidden_dim=16,
+                                           num_layers=3, K=2).eval()
+        x = np.random.default_rng(2).normal(size=(2, 21, 32)).astype(np.float32)
+        with torch.no_grad():
+            t_out = tmodel(torch.from_numpy(x))
+        converted = convert_torch_state_dict(tmodel.state_dict())
+        m = GraphChebConvNet(in_dim=32, out_dim=3, hidden_dim=16, num_layers=3)
+        out = m.apply(converted, jnp.asarray(x))
+        np.testing.assert_allclose(np.asarray(out), t_out.numpy(), atol=1e-4)
+
+    def test_residual_graph_conv_parity(self):
+        import torch
+
+        from handmvnet_tpu.checkpoint import convert_torch_state_dict
+        from handmvnet_tpu.models.nets import ResidualGraphConv
+
+        REF = self._ref()
+        torch.manual_seed(0)
+        tmodel = REF.nets.ResidualGraphConv(input_dim=16, hid_dim=8, nodes=21).eval()
+        # reference A_hat is an UNINITIALIZED torch.Tensor parameter; give it
+        # defined values before comparing
+        with torch.no_grad():
+            for gnet in (tmodel.gconv1, tmodel.gconv2):
+                gnet.A_hat.copy_(torch.randn(21, 21) * 0.1)
+        x = np.random.default_rng(3).normal(size=(2, 21, 16)).astype(np.float32)
+        with torch.no_grad():
+            t_out = tmodel(torch.from_numpy(x))
+        converted = convert_torch_state_dict(tmodel.state_dict())
+        m = ResidualGraphConv(input_dim=16, hid_dim=8, nodes=21)
+        out = m.apply(converted, jnp.asarray(x))
+        np.testing.assert_allclose(np.asarray(out), t_out.numpy(), atol=1e-4)
+
+    def test_graph_pool_unpool_parity(self):
+        import torch
+
+        from handmvnet_tpu.checkpoint import convert_torch_state_dict
+        from handmvnet_tpu.models.layers import GraphPool, GraphUnpool
+
+        REF = self._ref()
+        torch.manual_seed(0)
+        x = np.random.default_rng(4).normal(size=(2, 21, 16)).astype(np.float32)
+        for ref_cls, cls, nodes in (
+            (REF.layers.GraphPool, GraphPool, (21, 10)),
+            (REF.layers.GraphUnpool, GraphUnpool, (21, 42)),
+        ):
+            tmodel = ref_cls(*nodes).eval()
+            with torch.no_grad():
+                t_out = tmodel(torch.from_numpy(x))
+            converted = convert_torch_state_dict(tmodel.state_dict())
+            m = cls(out_nodes=nodes[1])
+            out = m.apply(converted, jnp.asarray(x))
+            np.testing.assert_allclose(np.asarray(out), t_out.numpy(), atol=1e-5)
+
+    def test_learnable_pe_and_frequency_encoding_parity(self):
+        import torch
+
+        from handmvnet_tpu.checkpoint import convert_torch_state_dict
+        from handmvnet_tpu.models.layers import (
+            LearnablePositionalEncoding,
+            frequency_encoding,
+        )
+
+        REF = self._ref()
+        torch.manual_seed(0)
+        tmodel = REF.layers.LearnablePositionalEncoding(d_model=8, max_len=50).eval()
+        x = np.random.default_rng(5).normal(size=(2, 30, 8)).astype(np.float32)
+        with torch.no_grad():
+            t_out = tmodel(torch.from_numpy(x))
+        converted = convert_torch_state_dict(tmodel.state_dict())
+        m = LearnablePositionalEncoding(d_model=8, max_len=50)
+        out = m.apply(converted, jnp.asarray(x))
+        np.testing.assert_allclose(np.asarray(out), t_out.numpy(), atol=1e-6)
+
+        t_freq = REF.layers.SinusoidalPositionalEncoding(num_frequencies=4)
+        with torch.no_grad():
+            t_f = t_freq(torch.from_numpy(x))
+        f = frequency_encoding(jnp.asarray(x), num_frequencies=4)
+        np.testing.assert_allclose(np.asarray(f), t_f.numpy(), atol=1e-5)
