@@ -68,7 +68,14 @@ def convert_torch_state_dict(
     variables: dict = {"params": {}, "batch_stats": {}}
 
     for key, value in state_dict.items():
-        v = value.detach().cpu().numpy() if hasattr(value, "detach") else np.asarray(value)
+        # copy: .numpy() on a CPU tensor aliases torch storage, so a later
+        # in-place torch update (optimizer.step) would silently mutate the
+        # converted tree
+        v = (
+            np.array(value.detach().cpu().numpy())
+            if hasattr(value, "detach")
+            else np.array(value)
+        )
         for pat, repl in LEGACY_REMAPS:
             key = pat.sub(repl, key)
         norm_key = "." + key
