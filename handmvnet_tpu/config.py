@@ -43,6 +43,11 @@ class DataConfig:
     # copied over from model (reference config.py:46-49 does the same)
     selected_views: tuple[int, ...] = (0, 1, 2, 3, 4)
     mask_invisible_joints: bool = True
+    # corrected per-split sample counts, e.g. {"train": 7000, "val": 1200}.
+    # Overrides the dataset class's hardcoded split_sizes (which for
+    # DexYCB/MVHand are extrapolations — data/dexycb.py, data/mvhand.py);
+    # `scripts/validate_dataset.py` emits this block when real tars disagree.
+    split_size_overrides: Mapping[str, int] | None = None
 
     @property
     def num_views(self) -> int:

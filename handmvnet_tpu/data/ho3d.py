@@ -163,9 +163,15 @@ class MultiviewTarDataset:
         return train_urls[1:-1] if split == "train" else [train_urls[0], train_urls[-1]]
 
     def num_samples(self) -> int:
+        # class defaults, correctable per run (DataConfig.split_size_overrides;
+        # emitted by scripts/validate_dataset.py when real tars disagree with
+        # the hardcoded counts — they size every epoch and the LR milestones)
+        sizes = dict(self.split_sizes)
+        if self.cfg.split_size_overrides:
+            sizes.update(self.cfg.split_size_overrides)
         if self.split == "train" and self.cfg.add_val_to_train:
-            return self.split_sizes["train+val"]
-        return self.split_sizes[self.split]
+            return sizes["train+val"]
+        return sizes[self.split]
 
     def _parse(self, raw: dict) -> dict:
         views = self.cfg.selected_views
@@ -202,9 +208,16 @@ class MultiviewTarDataset:
         split_index, split_count = self._native_split
         # decode only the view range actually used (e.g. 4 of 5 HO3D views)
         needed_views = max(self.cfg.selected_views) + 1
+        # pool sized to the machine: workers pull whole shards (tario.cc
+        # worker_loop), so threads beyond len(urls) would idle; beyond
+        # cpu_count they would thrash. Floor of 2 keeps read/decode
+        # overlapped even on one core.
+        import os as _os
+
+        n_threads = max(2, min(_os.cpu_count() or 4, len(urls)))
         loader = NativeShardLoader(
             urls, num_views=needed_views, image_hw=self.input_res,
-            n_threads=min(6, max(2, len(urls))),
+            n_threads=n_threads,
         )
         try:
             buffer: list[dict] = []

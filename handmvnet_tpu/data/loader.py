@@ -68,6 +68,7 @@ class BatchLoader:
         self.seed = seed
         self.device_prefetch = device_prefetch
         self._iter: Iterator[dict] | None = None
+        self._failed = False
 
     def _sample_stream(self) -> Iterator[dict]:
         while True:  # resample forever; epoch length is steps_per_epoch
@@ -82,27 +83,54 @@ class BatchLoader:
                 )
 
     def __iter__(self) -> Iterator[dict]:
+        # a pipeline failure leaves the producer's position in self._iter
+        # undefined; a second thread resuming the same generator would die
+        # with "generator already executing" — refuse instead
+        if self._failed:
+            raise RuntimeError(
+                "BatchLoader is dead after a previous pipeline error — "
+                "create a fresh BatchLoader"
+            )
         if self._iter is None:
             self._iter = self._sample_stream()
         q: queue.Queue = queue.Queue(maxsize=self.prefetch)
         stop = object()
+        # set when the consumer stops early (exception surfaced or the epoch
+        # generator closed mid-stream); producer/preparer poll it so they
+        # never stay blocked on a full queue holding self._iter
+        cancelled = threading.Event()
+
+        def cancellable_put(dst: queue.Queue, item) -> bool:
+            while not cancelled.is_set():
+                try:
+                    dst.put(item, timeout=0.1)
+                    return True
+                except queue.Full:
+                    continue
+            return False
 
         def producer():
             try:
                 for _ in range(self.steps_per_epoch):
+                    if cancelled.is_set():
+                        return
                     samples = [next(self._iter) for _ in range(self.batch_size)]
-                    q.put(collate(samples))
+                    if not cancellable_put(q, collate(samples)):
+                        return
             except StopIteration:
                 pass
             except BaseException as e:  # pragma: no cover - re-raised below
                 # surface data-pipeline failures in the consumer: a dead
                 # producer thread must not read as a clean empty epoch (in
                 # multi-process SPMD that desyncs the collective programs)
-                q.put(e)
+                cancellable_put(q, e)
             finally:
-                q.put(stop)
+                cancellable_put(q, stop)
 
-        threading.Thread(target=producer, daemon=True).start()
+        producer_thread = threading.Thread(target=producer, daemon=True)
+        producer_thread.start()
+        threads = [producer_thread]
+        queues = [q]
 
         out_q = q
         inline_prepare = self.device_prepare
@@ -117,29 +145,53 @@ class BatchLoader:
 
             def preparer():
                 try:
-                    while True:
-                        item = src.get()
+                    while not cancelled.is_set():
+                        try:
+                            item = src.get(timeout=0.1)
+                        except queue.Empty:
+                            continue
                         if item is stop or isinstance(item, BaseException):
-                            out_q.put(item)
+                            cancellable_put(out_q, item)
                             if item is stop:
                                 return
                             continue
-                        out_q.put(self.device_prepare(item))
+                        if not cancellable_put(out_q, self.device_prepare(item)):
+                            return
                 except BaseException as e:  # pragma: no cover - re-raised below
-                    out_q.put(e)
-                    out_q.put(stop)
+                    cancellable_put(out_q, e)
+                    cancellable_put(out_q, stop)
 
-            threading.Thread(target=preparer, daemon=True).start()
+            preparer_thread = threading.Thread(target=preparer, daemon=True)
+            preparer_thread.start()
+            threads.append(preparer_thread)
+            queues.append(out_q)
 
-        while True:
-            item = out_q.get()
-            if item is stop:
-                break
-            if isinstance(item, BaseException):
-                raise item
-            if inline_prepare is not None:
-                item = inline_prepare(item)
-            yield item
+        try:
+            while True:
+                item = out_q.get()
+                if item is stop:
+                    break
+                if isinstance(item, BaseException):
+                    self._failed = True
+                    raise item
+                if inline_prepare is not None:
+                    item = inline_prepare(item)
+                yield item
+        finally:
+            # normal completion, error, or early generator close: wind the
+            # stage threads down and wait until self._iter is released so a
+            # later __iter__ never races a still-running producer
+            cancelled.set()
+            for qq in queues:
+                try:
+                    while True:
+                        qq.get_nowait()
+                except queue.Empty:
+                    pass
+            for t in threads:
+                t.join(timeout=30.0)
+                if t.is_alive():  # wedged in the dataset itself; stay dead
+                    self._failed = True
 
     def __len__(self) -> int:
         return self.steps_per_epoch

@@ -49,7 +49,11 @@ def synthetic_batch(
     extr[:, :3, 3] = rng.normal(size=(b * v, 3)) * 0.2
     extr = extr.reshape(b, v, 4, 4).astype(np.float32)
 
-    joints_crop = rng.uniform(30, image_size - 30, size=(b, v, j, 2)).astype(np.float32)
+    # margin shrinks for sub-60px images (dryrun shapes); >=64px unchanged
+    margin = 30 if image_size >= 60 else int(image_size * 0.3)
+    joints_crop = rng.uniform(
+        margin, image_size - margin, size=(b, v, j, 2)
+    ).astype(np.float32)
     joints_cam = (rng.normal(size=(b, j, 3)) * 30.0).astype(np.float32)  # mm
     root_joint = (rng.normal(size=(b, 1, 3)) * 100.0 + np.array([0, 0, 500.0])).astype(np.float32)
     vertices = (rng.normal(size=(b, 778, 3)) * 40.0).astype(np.float32)

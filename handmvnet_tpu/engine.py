@@ -7,6 +7,7 @@ reference: src/models/handmvnet.py:353-516, src/train.py, src/eval.py).
 from __future__ import annotations
 
 import json
+from functools import partial
 from pathlib import Path
 from typing import Any, Callable, Dict, Iterable, Mapping
 
@@ -103,12 +104,15 @@ class MetricAverager:
 
     def __init__(self) -> None:
         self._sums: Dict[str, Any] = {}
-        self._count = 0
+        self._count = 0.0
 
-    def update(self, metrics: Mapping[str, Any]) -> None:
-        self._count += 1
+    def update(self, metrics: Mapping[str, Any], weight: float = 1.0) -> None:
+        """weight: sample count of this batch — per-batch metric means must
+        be weighted when batch sizes are uneven or the epoch average biases
+        toward small batches."""
+        self._count += weight
         for k, v in metrics.items():
-            v = np.asarray(v, dtype=np.float64)
+            v = np.asarray(v, dtype=np.float64) * weight
             self._sums[k] = self._sums.get(k, 0.0) + v
 
     def result(self) -> Dict[str, Any]:
@@ -126,6 +130,11 @@ def _tree_add(a, b):
     return jax.tree.map(jnp.add, a, b)
 
 
+@partial(jax.jit, static_argnums=1)
+def _tree_scale(a, w: float):
+    return jax.tree.map(lambda v: v * w, a)
+
+
 class DeviceMetricAverager:
     """MetricAverager that keeps the running sums ON DEVICE: one tiny jitted
     tree-add per update, a single device->host read in result().
@@ -137,11 +146,15 @@ class DeviceMetricAverager:
 
     def __init__(self) -> None:
         self._sums = None
-        self._count = 0
+        self._count = 0.0
 
-    def update(self, metrics: Mapping[str, Any]) -> None:
-        self._count += 1
+    def update(self, metrics: Mapping[str, Any], weight: float = 1.0) -> None:
+        """weight: sample count of this batch (see MetricAverager.update);
+        scaling happens on device so no extra host sync is introduced."""
+        self._count += weight
         metrics = dict(metrics)
+        if weight != 1.0:
+            metrics = _tree_scale(metrics, weight)
         self._sums = metrics if self._sums is None else _tree_add(self._sums, metrics)
 
     def result(self) -> Dict[str, Any]:
@@ -252,12 +265,16 @@ def make_vertices_fn(cfg: Config) -> Callable | None:
         return None
 
 
-_METRICS_FN_CACHE: Dict[tuple, Callable] = {}
+# value is (vertices_fn, jitted_metrics_fn): storing the callable in the
+# entry both pins it alive (so its id cannot be recycled) and lets the
+# lookup verify identity explicitly instead of trusting id() alone
+_METRICS_FN_CACHE: Dict[tuple, tuple] = {}
 
 
 def _cached_metrics_fn(auc_thresholds, root_relative: bool, vertices_fn):
     key = (tuple(auc_thresholds), bool(root_relative), id(vertices_fn))
-    fn = _METRICS_FN_CACHE.get(key)
+    entry = _METRICS_FN_CACHE.get(key)
+    fn = entry[1] if entry is not None and entry[0] is vertices_fn else None
     if fn is None:
         import functools
 
@@ -270,7 +287,7 @@ def _cached_metrics_fn(auc_thresholds, root_relative: bool, vertices_fn):
                 vertices_fn=vertices_fn,
             )
         )
-        _METRICS_FN_CACHE[key] = fn
+        _METRICS_FN_CACHE[key] = (vertices_fn, fn)
     return fn
 
 
@@ -299,7 +316,10 @@ def evaluate(
         labels = labels_in_meters(batch)
         device = metrics_fn(out, {k: labels[k] for k in labels if k in (
             "joints_crop_img", "joints_cam", "root_joint", "vertices", "joints_img_mask")})
-        avg.update(device)
+        # weight by batch size: per-batch means over uneven batch sizes
+        # (e.g. a future ragged multihost split) must not bias the epoch mean.
+        # .shape is metadata — no D2H read on device arrays
+        avg.update(device, weight=float(batch["rgb"].shape[0]))
     result = avg.result()
     return {f"{mode}_{k}": v for k, v in result.items()}
 

@@ -182,7 +182,7 @@ class HRModule(nn.Module):
                 pieces = []
                 for i, w, rl in zip(order, widths, relus):
                     piece = y[..., off:off + w]
-                    if i in live and i - j - 1 == level:
+                    if not rl:
                         contrib[i].append(piece)  # final conv of chain i (no ReLU)
                     else:
                         piece = nn.relu(piece)

@@ -266,17 +266,19 @@ class Loader {
         int view = atoi(field.c_str() + 6);
         if (view >= 0 && view < num_views_) {
           auto& buf = sample->images[view];
-          // count a view only on its FIRST successful decode: a duplicate
-          // or misnamed entry must not make `decoded` reach num_views_
-          // while another view is still unfilled (that would emit stale
-          // bytes from the previous sample into the caller's buffer)
-          bool fresh = buf.empty();
-          buf.resize(static_cast<size_t>(height_) * width_ * 3);
-          if (decode_jpeg_rgb(entry.payload.data(), entry.payload.size(),
-                              height_, width_, buf.data())) {
-            if (fresh) ++decoded;
-          } else if (fresh) {
-            buf.clear();  // failed decode leaves the view unfilled -> drop
+          // only the FIRST entry for a view is decoded: a duplicate entry
+          // must neither bump `decoded` (stale bytes from the previous
+          // sample could then be emitted for a still-unfilled view) nor be
+          // decoded over the already-good buffer (a corrupt duplicate would
+          // partially overwrite it while the view stays counted)
+          if (buf.empty()) {
+            buf.resize(static_cast<size_t>(height_) * width_ * 3);
+            if (decode_jpeg_rgb(entry.payload.data(), entry.payload.size(),
+                                height_, width_, buf.data())) {
+              ++decoded;
+            } else {
+              buf.clear();  // failed decode leaves the view unfilled -> drop
+            }
           }
         }
       } else if (field == "label.pyd") {

@@ -129,12 +129,19 @@ def main(argv=None) -> int:
         # split_sizes[split] spuriously flagged fully-correct datasets
         ds = ds_cls(cfg.data, split, use_native=False)
         expect = ds.num_samples()
+        # with add_val_to_train the "train" split iterates the train+val
+        # shards, so the counted size corrects the "train+val" entry
+        size_key = (
+            "train+val"
+            if split == "train" and cfg.data.add_val_to_train
+            else split
+        )
         status = "OK"
         if errors:
             status = "FAIL"
             failed = True
         elif expect is not None and count != expect:
-            corrected[split] = count
+            corrected[size_key] = count
             status = f"SIZE MISMATCH (hardcoded {expect})"
             if args.strict_sizes:
                 failed = True
@@ -146,10 +153,14 @@ def main(argv=None) -> int:
             print(f"    ... and {len(errors) - 20} more")
 
     if corrected:
-        sizes = dict(ds_cls.split_sizes)
-        sizes.update(corrected)
-        print(f"\ncorrected split_sizes for {cfg.data.name} "
-              f"(update data/{cfg.data.name}.py): {sizes}")
+        import yaml
+
+        print(f"\ncorrected sizes for {cfg.data.name} — add this to the "
+              f"config's data: section (consumed via "
+              f"DataConfig.split_size_overrides):")
+        print(yaml.safe_dump(
+            {"data": {"split_size_overrides": corrected}}, sort_keys=True
+        ).rstrip())
     return 1 if failed else 0
 
 

@@ -176,3 +176,19 @@ class TestDeviceMetricAverager:
         from handmvnet_tpu.engine import DeviceMetricAverager
 
         assert DeviceMetricAverager().result() == {}
+
+    def test_sample_count_weighting(self, rng):
+        """Uneven batch sizes must produce the sample-weighted epoch mean,
+        not the equal-weight batch mean (evaluate() passes batch sizes)."""
+        import jax.numpy as jnp
+
+        from handmvnet_tpu.engine import DeviceMetricAverager, MetricAverager
+
+        vals, weights = [10.0, 20.0, 50.0], [16.0, 16.0, 4.0]
+        expected = sum(v * w for v, w in zip(vals, weights)) / sum(weights)
+        host, dev = MetricAverager(), DeviceMetricAverager()
+        for v, w in zip(vals, weights):
+            host.update({"m": v}, weight=w)
+            dev.update({"m": jnp.asarray(v)}, weight=w)
+        assert abs(host.result()["m"] - expected) < 1e-9
+        assert abs(dev.result()["m"] - expected) < 1e-4

@@ -35,10 +35,35 @@ def test_clean_shards_pass_with_corrected_sizes(dataset_dir, capsys):
     out = capsys.readouterr().out
     assert rc == 0
     assert "SIZE MISMATCH" in out  # synthetic counts != hardcoded epoch sizes
-    assert "'val': 4" in out  # corrected dict printed
+    # corrected sizes printed as a ready-to-paste config override block
+    assert "split_size_overrides" in out
+    assert "val: 4" in out
+    # HO3D release config sets add_val_to_train, so the train count corrects
+    # the train+val entry (18 = 9 shards x 2 samples)
+    assert "train+val: 18" in out
     # strict mode turns the mismatch into a failure
     assert validate_dataset.main(["--config", cfg_path, "--strict-sizes",
                                   "--splits", "val"]) == 1
+
+
+def test_split_size_overrides_fix_epoch_length(dataset_dir):
+    """The emitted override block, fed back through the config, corrects
+    num_samples() (and hence every epoch length) without code edits."""
+    from handmvnet_tpu.config import Config
+    from handmvnet_tpu.data.ho3d import HO3DDataset
+
+    root, cfg_path = dataset_dir
+    cfg = Config.from_yaml(cfg_path)
+    ds = HO3DDataset(cfg.data, "val", use_native=False)
+    assert ds.num_samples() == 1369  # hardcoded reference count, wrong here
+
+    raw = yaml.safe_load(open(cfg_path))
+    raw["data"]["split_size_overrides"] = {"train+val": 18, "val": 4, "test": 6}
+    cfg2 = Config.from_dict(raw)
+    assert HO3DDataset(cfg2.data, "val", use_native=False).num_samples() == 4
+    assert HO3DDataset(cfg2.data, "test", use_native=False).num_samples() == 6
+    # add_val_to_train (set in the release YAML) routes train -> train+val
+    assert HO3DDataset(cfg2.data, "train", use_native=False).num_samples() == 18
 
 
 def test_corrupt_sample_reports_exact_key(dataset_dir, capsys):
