@@ -186,6 +186,10 @@ def main(argv=None) -> None:
     parser.add_argument("--detect-anomaly", action="store_true",
                         help="raise on NaNs inside jitted code (the reference's "
                              "torch detect_anomaly switch, eval.py:63)")
+    parser.add_argument("--eval-first", action="store_true",
+                        help="one validation pass before training (Lightning-"
+                             "style sanity val, logged as epoch -1) — gives "
+                             "convergence analyses a true untrained baseline")
     args = parser.parse_args(argv)
 
     if args.multihost:
@@ -322,6 +326,20 @@ def main(argv=None) -> None:
         preempted["flag"] = True
 
     signal.signal(signal.SIGTERM, _on_sigterm)
+
+    if args.eval_first and start_epoch == 0:
+        # untrained-model validation (epoch -1): the stable baseline for
+        # convergence gates (scripts/convergence_gate.py) — epoch-0 val is
+        # already one epoch into training and varies run to run
+        t0 = time.time()
+        init_val = evaluate(eval_step, state, val_loader, cfg, mode="val",
+                            vertices_fn=vertices_fn, prepare=shard)
+        if logger is not None:
+            logger.log({
+                "epoch": -1,
+                "time_s": round(time.time() - t0, 1),
+                **{k: v for k, v in init_val.items() if "pck" not in k},
+            })
 
     vis_val_loader = None
     for epoch in range(start_epoch, cfg.train.epochs):

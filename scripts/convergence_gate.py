@@ -1,0 +1,253 @@
+"""Synthetic convergence gate: prove the full training recipe LEARNS.
+
+The reference's contract is `trainer.fit` producing a falling val_mpjpe
+(reference src/train.py:91); its released checkpoints are the only evidence
+it converges. In this container (no real tars, no egress) the closest
+stand-in is the geometry-consistent synthetic rig (data/synthetic.py):
+a fixed camera ring observing one world-space hand whose skeleton is drawn
+into the frames, with true pinhole projections as labels.
+
+This script trains the flagship recipe — all loss terms incl. g2d/p2d
+reprojection, BN under grad accumulation, MultiStepLR, DP over 2 virtual
+devices — at reduced resolution (48^2, 2 views; VERDICT-sanctioned width
+reduction to stay in the CPU time budget) for several epochs in BOTH fp32
+and bf16, on train shards DISJOINT from the val shards, and gates:
+
+  * best val_mpjpe < 0.5 x the UNTRAINED model's val_mpjpe (--eval-first
+    sanity val, logged as epoch -1): the recipe optimizes at all. "Best"
+    because the run's deliverable is the best checkpoint (the reference
+    monitors val_mpjpe/min, train.py:34); per-epoch val on 12 samples
+    oscillates a few mm around the converged level.
+  * best val_mpjpe < 0.85 x the zero-predictor mpjpe (the mpjpe of
+    predicting all-zero root-relative joints, computed from the val
+    labels): the model learned real pose structure — measured here, the
+    untrained net already scores ~= the zero predictor (~101 mm; small
+    default inits => near-zero outputs), so beating it by >=15% cannot be
+    output shrinkage
+  * bf16 best val_mpjpe within 1.5 mm or 25% of fp32: mixed precision
+    tracks full precision
+
+and records the per-epoch curves in CONVERGENCE.json.
+
+Run: python scripts/convergence_gate.py  (CPU, ~8 min/dtype)
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+import tempfile
+from pathlib import Path
+
+import numpy as np
+
+os.environ["XLA_FLAGS"] = (
+    os.environ.get("XLA_FLAGS", "") + " --xla_force_host_platform_device_count=2"
+)
+sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
+
+import jax  # noqa: E402
+
+jax.config.update("jax_platforms", "cpu")
+# the trained graphs here are tiny variants of the dryrun's; share its cache
+jax.config.update("jax_compilation_cache_dir", "/tmp/jax_cache_handmvnet")
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 2.0)
+
+import yaml  # noqa: E402
+
+IMAGE, HEATMAP = 48, 6
+
+
+def _write_config(tmp: Path, shard_dir: Path, epochs: int, dtype: str) -> Path:
+    cfg = {
+        "name": f"convergence_{dtype}",
+        "base_output_dir": str(tmp / f"out_{dtype}"),
+        "data": {
+            "name": "ho3d",
+            # global batch 4 over 2 devices x accum 2 -> 1 sample/microbatch
+            "batch_size": 4,
+            "dataset_dir": str(shard_dir),
+            "image_size": IMAGE,
+            "heatmap_size": HEATMAP,
+            "augment": False,  # isolate the optimization signal
+            "add_val_to_train": False,
+            "num_workers": 0,
+        },
+        "model": {
+            "selected_views": [0, 1],
+            "fusion": "cross_attn",
+            "fusion_layers": 3,
+            "pos_enc": ["pos2d", "crop", "sin"],
+            "use_gcn": True,
+            "backbone": "resnet",
+            "backbone_type": "50_paper",
+            "backbone_early_return": 3,
+            "backbone_channels": [1024],
+            "backbone_pretrained": False,
+            "get_vertices": False,
+        },
+        "train": {
+            "epochs": epochs,
+            "accumulate_batch": 2,  # exercise BN-under-accumulation
+            "mask_invisible_joints": True,
+            "root_relative": True,
+            "vis_every_n_epochs": 1000,
+            "loss_weights": {
+                "heatmap": 10.0,
+                "joints_2d": 1.0,
+                "joints_3d": 1000,
+                "g2d": 1.0,
+                "p2d": 0.5,
+            },
+            # tiny-steps regime (3 updates/epoch): 1e-3 converges steadily;
+            # 1.5e-3 was measured to overshoot epoch 0. The epoch-8
+            # milestone both damps tail oscillation and exercises a real
+            # MultiStepLR boundary crossing in the gate
+            "lr": 0.001,
+            "lr_scheduler": {"gamma": 0.5, "milestones": [8]},
+            "weight_decay": 0.05,
+            "grad_clip": 1.0,
+            "compute_dtype": "bfloat16" if dtype == "bf16" else "float32",
+        },
+    }
+    path = tmp / f"cfg_{dtype}.yaml"
+    path.write_text(yaml.safe_dump(cfg))
+    return path
+
+
+def zero_predictor_mpjpe(ds) -> float:
+    """mpjpe (mm) of predicting all-zero root-relative joints on this split
+    — the collapse point a shrinking network converges to without learning
+    pose structure."""
+    norms = []
+    for sample in ds:
+        j = np.asarray(sample["joints_cam"], np.float64)  # (21, 3) mm
+        norms.append(float(np.linalg.norm(j, axis=-1).mean()))
+    return float(np.mean(norms))
+
+
+def run_gate(
+    epochs: int = 16,
+    dtypes: tuple[str, ...] = ("fp32", "bf16"),
+    out_json: str | Path = "CONVERGENCE.json",
+    write_artifact: bool = True,
+) -> dict:
+    import handmvnet_tpu.train as train_mod
+    from handmvnet_tpu.data.ho3d import HO3DDataset
+    from handmvnet_tpu.data.synthetic import write_synthetic_ho3d_shards
+
+    result: dict = {"epochs": epochs, "image_size": IMAGE, "runs": {}}
+
+    with tempfile.TemporaryDirectory() as tmp_s:
+        tmp = Path(tmp_s)
+        shard_dir = tmp / "data"
+        # HO3D split rule (reference ho3d.py:239-249): train = shards[1:-1],
+        # val = [first, last] -> with 4 shards, val samples are DISJOINT from
+        # train, so a falling val_mpjpe is generalization, not memorization.
+        write_synthetic_ho3d_shards(
+            shard_dir, num_shards=4, samples_per_shard=6, num_views=2,
+            split="train", seed=3, consistent_geometry=True,
+            image_hw=(240, 320),
+        )
+        write_synthetic_ho3d_shards(
+            shard_dir, num_shards=2, samples_per_shard=2, num_views=2,
+            split="test", seed=11, consistent_geometry=True,
+            image_hw=(240, 320),
+        )
+
+        class GateHO3D(HO3DDataset):
+            train_pattern = "HO3D_mv_train-{000000..000003}.tar"
+            test_pattern = "HO3D_mv_test-{000000..000001}.tar"
+            split_sizes = {"train": 12, "train+val": 24, "val": 12, "test": 4}
+            input_res = (240, 320)
+
+        cfg0 = None  # built per dtype below; val labels identical across them
+        prev = train_mod.DATASETS["ho3d"]
+        train_mod.DATASETS["ho3d"] = GateHO3D
+        try:
+            for dtype in dtypes:
+                cfg_path = _write_config(tmp, shard_dir, epochs, dtype)
+                if cfg0 is None:
+                    from handmvnet_tpu.config import Config
+
+                    cfg0 = Config.from_yaml(cfg_path)
+                    result["zero_predictor_mpjpe"] = zero_predictor_mpjpe(
+                        GateHO3D(cfg0.data, "val", use_native=False)
+                    )
+                train_mod.main(
+                    ["--config", str(cfg_path), "--num-devices", "2",
+                     "--eval-first"]
+                )
+                metrics_path = tmp / f"out_{dtype}" / "metrics.jsonl"
+                records = [
+                    json.loads(line)
+                    for line in metrics_path.read_text().splitlines()
+                ]
+                # record 0 is epoch -1 = the untrained model (--eval-first):
+                # the stable baseline (epoch-0 val is already one epoch in)
+                curve = [float(r["val_mpjpe"]) for r in records]
+                # best epoch, not last: the deliverable of a training run is
+                # the best checkpoint (reference monitors val_mpjpe/min,
+                # train.py:34); per-epoch val on 12 samples oscillates a few
+                # mm around the converged level
+                best = min(curve[1:])
+                result["runs"][dtype] = {
+                    "val_mpjpe_untrained": curve[0],
+                    "val_mpjpe_per_epoch": curve[1:],
+                    "train_loss_per_epoch": [
+                        float(r["train/loss"]) for r in records
+                        if "train/loss" in r
+                    ],
+                    "first": curve[0],
+                    "best": best,
+                    "final": curve[-1],
+                    "ratio": best / curve[0],
+                }
+        finally:
+            train_mod.DATASETS["ho3d"] = prev
+
+    # gates
+    zp = result["zero_predictor_mpjpe"]
+    for dtype in dtypes:
+        run = result["runs"][dtype]
+        run["halved_vs_untrained"] = bool(run["best"] < 0.5 * run["first"])
+        run["beats_zero_predictor"] = bool(run["best"] < 0.85 * zp)
+        run["converged"] = run["halved_vs_untrained"] and run["beats_zero_predictor"]
+    if "fp32" in result["runs"] and "bf16" in result["runs"]:
+        f32, b16 = result["runs"]["fp32"]["best"], result["runs"]["bf16"]["best"]
+        result["bf16_tracks_fp32"] = bool(
+            abs(b16 - f32) < max(1.5, 0.25 * f32)
+        )
+
+    if write_artifact:
+        out_path = Path(out_json)
+        out_path.parent.mkdir(parents=True, exist_ok=True)
+        out_path.write_text(json.dumps(result, indent=2))
+    return result
+
+
+def main(argv=None):
+    p = argparse.ArgumentParser(description=__doc__)
+    p.add_argument("--epochs", type=int, default=16)
+    p.add_argument("--out", default="CONVERGENCE.json")
+    p.add_argument("--dtypes", default="fp32,bf16")
+    args = p.parse_args(argv)
+
+    result = run_gate(
+        epochs=args.epochs,
+        dtypes=tuple(args.dtypes.split(",")),
+        out_json=args.out,
+    )
+    print(json.dumps(result, indent=2))
+    ok = all(r["converged"] for r in result["runs"].values()) and result.get(
+        "bf16_tracks_fp32", True
+    )
+    if not ok:
+        raise SystemExit("convergence gate FAILED")
+    print("convergence gate PASSED")
+
+
+if __name__ == "__main__":
+    main()
