@@ -50,6 +50,9 @@ class HandMvNet(nn.Module):
     heatmap_size: int = 32
     root_relative: bool = True
     remat: bool = False  # rematerialize backbone blocks (training memory)
+    # fusion dropout (reference fusion.py:14 fixes 0.1); a knob so gradient
+    # parity tests / BN-calibration passes can train with dropout disabled
+    dropout: float = 0.1
 
     def _backbone_features(self, x: jax.Array, train: bool) -> list[jax.Array]:
         cfg = self.cfg
@@ -114,7 +117,12 @@ class HandMvNet(nn.Module):
         mlvl_feats = self._backbone_features(xv, train)
         heatmaps = self._pose_net(mlvl_feats[0], train)  # [b*v, 32, 32, J] NHWC
         hm_jf = jnp.moveaxis(heatmaps, -1, 1)  # [b*v, J, 32, 32]
-        joint_coords = soft_argmax_2d(hm_jf.astype(jnp.float32)).astype(x.dtype)
+        # soft-argmax at >= f32: the x1000 softmax overflows bf16, so promote
+        # low precisions — but never DOWNCAST (f64 parity runs stay f64).
+        # The coords then return to the compute dtype (bf16 stays bf16 on
+        # the hot path).
+        sa_dtype = jnp.promote_types(hm_jf.dtype, jnp.float32)
+        joint_coords = soft_argmax_2d(hm_jf.astype(sa_dtype)).astype(x.dtype)
 
         sampled = []
         for i, feat in enumerate(mlvl_feats):
@@ -130,8 +138,9 @@ class HandMvNet(nn.Module):
 
         if "crop" in cfg.pos_enc:
             assert bbox is not None and intrinsics is not None
-            boxes = bbox.reshape(b * v, 4).astype(jnp.float32)
-            intr = intrinsics.reshape(b * v, 4).astype(jnp.float32)
+            enc_dtype = jnp.promote_types(bbox.dtype, jnp.float32)
+            boxes = bbox.reshape(b * v, 4).astype(enc_dtype)
+            intr = intrinsics.reshape(b * v, 4).astype(enc_dtype)
             pts = box_corner_points(boxes)  # [b*v, 5, 2]
             cc = centered_coordinates(pts, intr[:, 2], intr[:, 3])
             fov = fov_angles(cc, intr[:, 0], intr[:, 1])  # [b*v, 5, 2]
@@ -149,7 +158,7 @@ class HandMvNet(nn.Module):
                 max_tokens=j * cfg.num_views,
                 custom_query_length=j,
                 num_layers=cfg.fusion_layers,
-                dropout=0.1,
+                dropout=self.dropout,
                 name="joints_late_fusion",
             )(tokens_b, add_pos="sin" in cfg.pos_enc, train=train)
         elif cfg.fusion == "cross_attn_learnable_query":
@@ -184,17 +193,19 @@ class HandMvNet(nn.Module):
                 max_tokens=cfg.num_views,
                 custom_query_length=1,
                 num_layers=3,
-                dropout=0.1,
+                dropout=self.dropout,
                 name="root_late_fusion",
             )(wrist_tokens, add_pos="sin" in cfg.pos_enc, train=train)
             out["root_joint"] = JointsDecoderNN(
                 in_features=feat_dim + 2, name="root_decoder"
-            )(root_fused).astype(jnp.float32)
+            )(root_fused).astype(jnp.promote_types(x.dtype, jnp.float32))
 
         scale = float(self.image_size) / float(self.heatmap_size)
+        # outputs at >= f32 (bf16 compute still reports f32; f64 stays f64)
+        out_dtype = jnp.promote_types(x.dtype, jnp.float32)
         out.update(
-            joints_crop_img=(joint_coords.reshape(b, v, j, 2) * scale).astype(jnp.float32),
-            joints_cam=joints_cam.astype(jnp.float32),
-            heatmap=hm_jf.reshape(b, v, j, self.heatmap_size, self.heatmap_size).astype(jnp.float32),
+            joints_crop_img=(joint_coords.reshape(b, v, j, 2) * scale).astype(out_dtype),
+            joints_cam=joints_cam.astype(out_dtype),
+            heatmap=hm_jf.reshape(b, v, j, self.heatmap_size, self.heatmap_size).astype(out_dtype),
         )
         return out

@@ -29,11 +29,97 @@ BN_EPS = 1e-5
 LN_EPS = 1e-5
 
 
+class TorchBatchNorm(nn.BatchNorm):
+    """flax BatchNorm with torch's running-VARIANCE update semantics.
+
+    torch BatchNorm2d normalizes with the biased batch variance but stores
+    the UNBIASED (Bessel-corrected, n/(n-1)) variance into running_var;
+    flax stores the biased one. The ~1/n relative drift this causes was
+    measured at 3.4e-4 after one train step (tests/test_grad_parity_oracle
+    f64 run) — small, but running stats feed every eval forward, so train
+    parity requires the torch rule. Normalization math is inherited
+    unchanged; only the running-var update line differs."""
+
+    @nn.compact
+    def __call__(self, x, use_running_average: bool | None = None):
+        from flax.linen import module as flax_module
+        from flax.linen.normalization import (
+            _canonicalize_axes,
+            _compute_stats,
+            _normalize,
+        )
+
+        use_running_average = flax_module.merge_param(
+            "use_running_average", self.use_running_average, use_running_average
+        )
+        feature_axes = _canonicalize_axes(x.ndim, self.axis)
+        reduction_axes = tuple(i for i in range(x.ndim) if i not in feature_axes)
+        feature_shape = [x.shape[ax] for ax in feature_axes]
+
+        ra_mean = self.variable(
+            "batch_stats", "mean",
+            lambda s: jnp.zeros(
+                s, jnp.float32 if self.force_float32_reductions else self.param_dtype
+            ),
+            feature_shape,
+        )
+        ra_var = self.variable(
+            "batch_stats", "var",
+            lambda s: jnp.ones(
+                s, jnp.float32 if self.force_float32_reductions else self.param_dtype
+            ),
+            feature_shape,
+        )
+
+        if use_running_average:
+            mean = (
+                ra_mean.value
+                if self.force_float32_reductions
+                else jnp.asarray(ra_mean.value, self.param_dtype)
+            )
+            var = (
+                ra_var.value
+                if self.force_float32_reductions
+                else jnp.asarray(ra_var.value, self.param_dtype)
+            )
+        else:
+            mean, var = _compute_stats(
+                x, reduction_axes,
+                dtype=self.dtype,
+                axis_name=self.axis_name if not self.is_initializing() else None,
+                axis_index_groups=self.axis_index_groups,
+                use_fast_variance=self.use_fast_variance,
+                mask=None,
+                force_float32_reductions=self.force_float32_reductions,
+            )
+            if not self.is_initializing():
+                n = 1
+                for ax in reduction_axes:
+                    n *= x.shape[ax]
+                bessel = n / max(n - 1, 1)  # torch stores unbiased variance
+                ra_mean.value = (
+                    self.momentum * ra_mean.value + (1 - self.momentum) * mean
+                )
+                ra_var.value = (
+                    self.momentum * ra_var.value
+                    + (1 - self.momentum) * var * bessel
+                )
+
+        return _normalize(
+            self, x, mean, var, reduction_axes, feature_axes,
+            self.dtype, self.param_dtype, self.epsilon,
+            self.use_bias, self.use_scale,
+            self.bias_init, self.scale_init,
+            self.force_float32_reductions,
+        )
+
+
 def batch_norm(name: str, dtype=None) -> nn.BatchNorm:
-    """BatchNorm2d with torch semantics; call with
-    use_running_average=not train. A "frozen" BN (reference resnet.py:31-74)
-    is this permanently in eval mode — the affine algebra is identical."""
-    return nn.BatchNorm(
+    """BatchNorm2d with torch semantics (incl. the unbiased running-var
+    update, see TorchBatchNorm); call with use_running_average=not train.
+    A "frozen" BN (reference resnet.py:31-74) is this permanently in eval
+    mode — the affine algebra is identical."""
+    return TorchBatchNorm(
         use_running_average=None,
         momentum=BN_MOMENTUM_FLAX,
         epsilon=BN_EPS,
