@@ -1,0 +1,250 @@
+"""Record the full inference-benchmark matrix as a reproducible artifact.
+
+Covers the prose claims in PARITY.md (HRNet variant, batch-8 serving, train
+throughput) and BASELINE configs #3/#4 with re-runnable numbers:
+
+    {resnet50_paper, hrnet_w40} x {bf16, fp32} x views {4, 5, 8} x batch {1, 8}
+
+each datapoint using bench.py's measurement discipline (scalar VALUE reads
+as barriers — jax.block_until_ready is not trustworthy on the relayed
+transport; see bench.py header), reporting per-call FPS, fully-blocking p50
+latency, and device_fps (K frames/dispatch via lax.scan). One DP train-step
+throughput figure (samples/sec) is appended.
+
+Writes BENCH_MATRIX.json at the repo root and regenerates the README table
+between the BENCH_MATRIX markers.
+
+Run (real TPU): python scripts/bench_matrix.py            (~40-60 min)
+Quick smoke:    python scripts/bench_matrix.py --quick    (fewer combos/iters)
+
+Reference protocol being generalized: src/eval_fps.py:69-97 (batch 1,
+8 views, 100 warmup + 1000 timed iters, forward + mesh stage in the timed
+region).
+"""
+
+from __future__ import annotations
+
+import argparse
+import dataclasses
+import json
+import sys
+import time
+from pathlib import Path
+
+REPO = Path(__file__).resolve().parents[1]
+sys.path.insert(0, str(REPO))
+
+BACKBONES = {
+    "resnet50_paper": "configs/release/HO3D_HandMvNet.yaml",
+    "hrnet_w40": "configs/release/HO3D_HandMvNet_HR.yaml",
+}
+DTYPES = ("bfloat16", "float32")
+VIEWS = (4, 5, 8)
+BATCHES = (1, 8)
+
+
+def bench_args(batch: int, views: int, iters: int, chunk: int):
+    return argparse.Namespace(
+        batch=batch,
+        views=views,
+        warmup=30,
+        iters=iters,
+        chunk=chunk,
+        # the device-throughput probe materializes K full batches on-chip
+        # (bench.py rgbK): at batch 8 x many views, K=50 exceeds HBM and
+        # kills the TPU worker outright (observed: hrnet v5/b8) — shrink K
+        scan_frames=50 if batch == 1 else 10,
+        no_vertices=False,
+        verbose=True,
+    )
+
+
+def train_throughput(iters: int = 30) -> dict:
+    """DP train-step samples/sec at the flagship config (train_bench.py's
+    measurement, inlined so the matrix is one artifact)."""
+    import jax
+
+    from handmvnet_tpu.config import Config
+    from handmvnet_tpu.data.synthetic import synthetic_batch
+    from handmvnet_tpu.models import HandMvNet
+    from handmvnet_tpu.parallel import (
+        create_train_state,
+        make_mesh,
+        make_optimizer,
+        make_train_step,
+    )
+    from handmvnet_tpu.parallel.mesh import data_sharding
+
+    cfg = Config.from_yaml(REPO / "configs/release/HO3D_HandMvNet.yaml")
+    cfg = cfg.replace(
+        train=dataclasses.replace(
+            cfg.train, compute_dtype="bfloat16", accumulate_batch=1
+        ),
+    )
+    batch_size = 16
+    model = HandMvNet(cfg=cfg.model, remat=True)
+    mesh = make_mesh()
+    batch = synthetic_batch(batch_size=batch_size, num_views=5, seed=0)
+    tx = make_optimizer(cfg, steps_per_epoch=100)
+    state = create_train_state(model, cfg, jax.random.PRNGKey(0), batch, tx=tx)
+    step = make_train_step(model, cfg, tx, mesh, accum_steps=1)
+    sharding = data_sharding(mesh)
+    dbatch = {k: jax.device_put(v, sharding) for k, v in batch.items()}
+    rng = jax.random.PRNGKey(1)
+
+    state, losses = step(state, dbatch, rng)  # compile
+    _ = float(losses["loss"])  # value read = trustworthy barrier
+    t0 = time.perf_counter()
+    for _ in range(iters):
+        state, losses = step(state, dbatch, rng)
+    _ = float(losses["loss"])
+    dt = time.perf_counter() - t0
+    return {
+        "samples_per_sec": round(batch_size * iters / dt, 2),
+        "step_ms": round(dt / iters * 1e3, 2),
+        "batch": batch_size,
+        "views": 5,
+        "dtype": "bfloat16",
+    }
+
+
+def main() -> None:
+    parser = argparse.ArgumentParser()
+    parser.add_argument("--quick", action="store_true",
+                        help="reduced combos + iters (CI smoke, not the artifact)")
+    parser.add_argument("--iters", type=int, default=300)
+    parser.add_argument("--out", default=str(REPO / "BENCH_MATRIX.json"))
+    parser.add_argument("--skip-train", action="store_true")
+    parser.add_argument("--no-readme", action="store_true")
+    parser.add_argument("--skip", type=int, default=0,
+                        help="skip the first N row combos (resume after a "
+                             "TPU worker crash; merge JSONs by hand)")
+    parser.add_argument("--stop-after", type=int, default=0,
+                        help="stop after combo N (0 = run all): re-measure "
+                             "a crashed row range in isolation")
+    args = parser.parse_args()
+
+    import jax
+
+    # persistent compile cache: recovery runs after a TPU-worker crash (and
+    # re-runs of the matrix) skip the ~20-40 s compile per row
+    jax.config.update("jax_compilation_cache_dir", "/tmp/jax_cache_handmvnet")
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 2.0)
+
+    from bench import run_protocol
+    from handmvnet_tpu.config import Config
+
+    dtypes = DTYPES[:1] if args.quick else DTYPES
+    views = (8,) if args.quick else VIEWS
+    batches = (1,) if args.quick else BATCHES
+    iters = 60 if args.quick else args.iters
+
+    rows = []
+    combo_idx = 0
+    for backbone, cfg_path in BACKBONES.items():
+        cfg = Config.from_yaml(REPO / cfg_path)
+        for v in views:
+            bcfg = cfg.replace(
+                model=dataclasses.replace(
+                    cfg.model, selected_views=tuple(range(v))
+                )
+            )
+            for b in batches:
+                for dt in dtypes:
+                    combo_idx += 1
+                    if combo_idx <= args.skip:
+                        continue
+                    if args.stop_after and combo_idx > args.stop_after:
+                        continue
+                    a = bench_args(b, v, iters, chunk=min(100, iters))
+                    t0 = time.time()
+                    row = {
+                        "backbone": backbone,
+                        "views": v,
+                        "batch": b,
+                        "dtype": "bf16" if dt == "bfloat16" else "fp32",
+                    }
+                    try:
+                        fps, p50, device_fps = run_protocol(bcfg, a, dt)
+                        row.update(
+                            fps=round(fps, 1),
+                            blocking_p50_ms=round(p50, 2),
+                            device_fps=round(device_fps, 1),
+                        )
+                    except Exception as e:  # noqa: BLE001 - record, don't lose
+                        # the rows already measured (a dead backend will fail
+                        # every later row fast; rerun with --skip to resume)
+                        row["error"] = f"{type(e).__name__}: {e}"[:300]
+                    row["wall_s"] = round(time.time() - t0, 1)
+                    rows.append(row)
+                    print(json.dumps(row), file=sys.stderr)
+
+    artifact = {
+        "protocol": (
+            "eval_fps generalized (reference src/eval_fps.py:69-97): synthetic "
+            f"256^2 frames, warmup 30, {iters} timed iters, forward + on-device "
+            "MANO IK/LBS mesh stage in the timed region; per-call FPS uses "
+            "chunked scalar-value-read barriers (best of 3), device_fps is 50 "
+            "frames/dispatch via lax.scan (relay-RPC amortized)"
+        ),
+        "device": str(jax.devices()[0]),
+        "baseline_fps": 48.0,
+        "quick": bool(args.quick),
+        "rows": rows,
+    }
+    if not args.skip_train:
+        artifact["train"] = train_throughput(10 if args.quick else 30)
+        print(json.dumps(artifact["train"]), file=sys.stderr)
+
+    Path(args.out).write_text(json.dumps(artifact, indent=2) + "\n")
+    print(f"wrote {args.out}", file=sys.stderr)
+
+    if not args.no_readme and not args.quick:
+        update_readme(artifact)
+
+
+def update_readme(artifact: dict) -> None:
+    """Regenerate the README bench table from the artifact (idempotent)."""
+    readme = REPO / "README.md"
+    begin, end = "<!-- BENCH_MATRIX:begin -->", "<!-- BENCH_MATRIX:end -->"
+    lines = [
+        "| backbone | views | batch | dtype | per-call FPS | p50 ms | device FPS |",
+        "|---|---|---|---|---|---|---|",
+    ]
+    for r in artifact["rows"]:
+        if "error" in r:
+            lines.append(
+                f"| {r['backbone']} | {r['views']} | {r['batch']} "
+                f"| {r['dtype']} | — | — | — (see BENCH_MATRIX.json: "
+                f"worker crash at this shape) |"
+            )
+            continue
+        lines.append(
+            f"| {r['backbone']} | {r['views']} | {r['batch']} | {r['dtype']} "
+            f"| {r['fps']} | {r['blocking_p50_ms']} | {r['device_fps']} |"
+        )
+    if "train" in artifact:
+        t = artifact["train"]
+        lines.append(
+            f"\nTrain step (DP, bs {t['batch']}, {t['views']} views, bf16): "
+            f"**{t['samples_per_sec']} samples/s** ({t['step_ms']} ms/step)."
+            + (f" _{t['note']}_" if t.get("note") else "")
+        )
+    block = f"{begin}\n" + "\n".join(lines) + f"\n{end}"
+    text = readme.read_text()
+    if begin in text and end in text:
+        pre, rest = text.split(begin, 1)
+        _, post = rest.split(end, 1)
+        readme.write_text(pre + block + post)
+    else:
+        readme.write_text(
+            text.rstrip()
+            + "\n\n## Benchmark matrix (regenerated by scripts/bench_matrix.py)\n\n"
+            + block
+            + "\n"
+        )
+    print("README bench table regenerated", file=sys.stderr)
+
+
+if __name__ == "__main__":
+    main()
