@@ -49,8 +49,9 @@ def synthetic_batch(
     extr[:, :3, 3] = rng.normal(size=(b * v, 3)) * 0.2
     extr = extr.reshape(b, v, 4, 4).astype(np.float32)
 
-    # margin shrinks for sub-60px images (dryrun shapes); >=64px unchanged
-    margin = 30 if image_size >= 60 else int(image_size * 0.3)
+    # margin shrinks proportionally for small images (dryrun shapes);
+    # >=100px unchanged (min(30, 0.3*size) == 30 there)
+    margin = min(30, int(image_size * 0.3))
     joints_crop = rng.uniform(
         margin, image_size - margin, size=(b, v, j, 2)
     ).astype(np.float32)

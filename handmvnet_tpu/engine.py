@@ -7,7 +7,6 @@ reference: src/models/handmvnet.py:353-516, src/train.py, src/eval.py).
 from __future__ import annotations
 
 import json
-from functools import partial
 from pathlib import Path
 from typing import Any, Callable, Dict, Iterable, Mapping
 
@@ -130,8 +129,10 @@ def _tree_add(a, b):
     return jax.tree.map(jnp.add, a, b)
 
 
-@partial(jax.jit, static_argnums=1)
-def _tree_scale(a, w: float):
+@jax.jit
+def _tree_scale(a, w):
+    # w is traced (not static): one compile per tree structure, not one per
+    # distinct batch size — uneven batches stay cheap
     return jax.tree.map(lambda v: v * w, a)
 
 
@@ -154,7 +155,7 @@ class DeviceMetricAverager:
         self._count += weight
         metrics = dict(metrics)
         if weight != 1.0:
-            metrics = _tree_scale(metrics, weight)
+            metrics = _tree_scale(metrics, jnp.float32(weight))
         self._sums = metrics if self._sums is None else _tree_add(self._sums, metrics)
 
     def result(self) -> Dict[str, Any]:

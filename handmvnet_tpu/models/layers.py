@@ -49,6 +49,22 @@ class TorchBatchNorm(nn.BatchNorm):
             _normalize,
         )
 
+        # these are PRIVATE flax helpers whose signatures have changed across
+        # releases; fail loudly on an incompatible flax instead of silently
+        # mis-normalizing the whole model zoo (parity is a feature)
+        import inspect
+
+        stats_params = inspect.signature(_compute_stats).parameters
+        norm_params = inspect.signature(_normalize).parameters
+        assert "force_float32_reductions" in stats_params and "mask" in stats_params, (
+            "flax.linen.normalization._compute_stats signature changed — "
+            "update TorchBatchNorm to match this flax version"
+        )
+        assert len(norm_params) == 14, (
+            "flax.linen.normalization._normalize signature changed — "
+            "update TorchBatchNorm to match this flax version"
+        )
+
         use_running_average = flax_module.merge_param(
             "use_running_average", self.use_running_average, use_running_average
         )

@@ -184,19 +184,26 @@ def main() -> None:
             "eval_fps generalized (reference src/eval_fps.py:69-97): synthetic "
             f"256^2 frames, warmup 30, {iters} timed iters, forward + on-device "
             "MANO IK/LBS mesh stage in the timed region; per-call FPS uses "
-            "chunked scalar-value-read barriers (best of 3), device_fps is 50 "
-            "frames/dispatch via lax.scan (relay-RPC amortized)"
+            "chunked scalar-value-read barriers (best of 3), device_fps is "
+            "50 (batch 1) / 10 (batch 8) frames/dispatch via lax.scan "
+            "(relay-RPC amortized; batch 8 capped to fit HBM)"
         ),
         "device": str(jax.devices()[0]),
         "baseline_fps": 48.0,
         "quick": bool(args.quick),
         "rows": rows,
     }
-    if not args.skip_train:
-        artifact["train"] = train_throughput(10 if args.quick else 30)
-        print(json.dumps(artifact["train"]), file=sys.stderr)
-
+    # write the rows BEFORE attempting train throughput: a dead/hung backend
+    # after the matrix (the observed worker-crash mode) must not lose an
+    # hour of measured rows
     Path(args.out).write_text(json.dumps(artifact, indent=2) + "\n")
+    if not args.skip_train:
+        try:
+            artifact["train"] = train_throughput(10 if args.quick else 30)
+        except Exception as e:  # noqa: BLE001
+            artifact["train"] = {"error": f"{type(e).__name__}: {e}"[:300]}
+        print(json.dumps(artifact["train"]), file=sys.stderr)
+        Path(args.out).write_text(json.dumps(artifact, indent=2) + "\n")
     print(f"wrote {args.out}", file=sys.stderr)
 
     if not args.no_readme and not args.quick:
@@ -223,7 +230,7 @@ def update_readme(artifact: dict) -> None:
             f"| {r['backbone']} | {r['views']} | {r['batch']} | {r['dtype']} "
             f"| {r['fps']} | {r['blocking_p50_ms']} | {r['device_fps']} |"
         )
-    if "train" in artifact:
+    if "train" in artifact and "samples_per_sec" in artifact["train"]:
         t = artifact["train"]
         lines.append(
             f"\nTrain step (DP, bs {t['batch']}, {t['views']} views, bf16): "
