@@ -38,6 +38,11 @@ class DataConfig:
     mano_models_dir: str = "mano"
     num_workers: int = 6
     augment: bool = True
+    # opt-in decode-side downscale (1 = off): libjpeg DCT-domain scaling in
+    # the native loader (~3x cheaper decode per halving) for decode-bound
+    # hosts; crops resample the same bbox region from the smaller frame
+    # (documented deviation: crop detail is capped at source/denom)
+    decode_scale_denom: int = 1
     pad_image: bool = True
     add_val_to_train: bool = False
     # copied over from model (reference config.py:46-49 does the same)

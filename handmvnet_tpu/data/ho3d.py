@@ -179,6 +179,18 @@ class MultiviewTarDataset:
             raw["label.pyd"], self.root_idx, self.input_res, views
         )
         imgs = [raw[f"image_{i}.jpg"] for i in views]
+        d = self.cfg.decode_scale_denom
+        if d > 1:
+            # python-reader counterpart of the native loader's DCT-domain
+            # downscaled decode (INTER_AREA approximates the DCT box filter;
+            # not bit-equal to libjpeg scaling, distribution-close)
+            import cv2
+
+            hw = (-(-self.input_res[0] // d), -(-self.input_res[1] // d))
+            imgs = [
+                cv2.resize(im, (hw[1], hw[0]), interpolation=cv2.INTER_AREA)
+                for im in imgs
+            ]
         sample["full_rgb"] = np.stack(imgs).astype(np.uint8)
         sample["mv_sample_id"] = os.path.join(raw["__url__"], raw["__key__"])
         return sample
@@ -218,6 +230,7 @@ class MultiviewTarDataset:
         loader = NativeShardLoader(
             urls, num_views=needed_views, image_hw=self.input_res,
             n_threads=n_threads,
+            scale_denom=self.cfg.decode_scale_denom,
         )
         try:
             buffer: list[dict] = []

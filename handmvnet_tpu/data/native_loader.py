@@ -31,6 +31,12 @@ def _load_lib():
             ctypes.POINTER(ctypes.c_char_p), ctypes.c_int, ctypes.c_int,
             ctypes.c_int, ctypes.c_int, ctypes.c_int, ctypes.c_int,
         ]
+        lib.tario_create_scaled.restype = ctypes.c_void_p
+        lib.tario_create_scaled.argtypes = [
+            ctypes.POINTER(ctypes.c_char_p), ctypes.c_int, ctypes.c_int,
+            ctypes.c_int, ctypes.c_int, ctypes.c_int, ctypes.c_int,
+            ctypes.c_int,
+        ]
         lib.tario_next.restype = ctypes.c_int
         lib.tario_next.argtypes = [
             ctypes.c_void_p,
@@ -60,16 +66,26 @@ class NativeShardLoader:
         n_threads: int = 4,
         capacity: int = 64,
         label_cap: int = 16 * 1024 * 1024,
+        scale_denom: int = 1,
     ):
+        """image_hw: the SOURCE frame dims; with scale_denom in {2,4,8} the
+        decoder runs libjpeg's DCT-domain downscaling and emits
+        ceil(hw/denom) frames at ~1/3 the decode cost (per halving) — the
+        cheap lever on decode-bound hosts (LOADER_BENCH.json)."""
         self.lib = _load_lib()
         self.num_views = num_views
-        self.h, self.w = image_hw
+        assert scale_denom in (1, 2, 4, 8), scale_denom
+        self.scale_denom = scale_denom
+        # libjpeg emits ceil(orig/denom)
+        self.h = -(-image_hw[0] // scale_denom)
+        self.w = -(-image_hw[1] // scale_denom)
         self.label_cap = label_cap
         arr = (ctypes.c_char_p * len(shard_paths))(
             *[p.encode() for p in shard_paths]
         )
-        self.handle = self.lib.tario_create(
-            arr, len(shard_paths), num_views, self.h, self.w, n_threads, capacity
+        self.handle = self.lib.tario_create_scaled(
+            arr, len(shard_paths), num_views, self.h, self.w, n_threads,
+            capacity, scale_denom,
         )
         if not self.handle:
             raise RuntimeError("tario_create failed")

@@ -106,9 +106,11 @@ def gt_overlay_panels(cfg: Config, split: str = "train", out_dir: str | Path | N
     # CPU backend: this is host-side analysis, and reading a TPU result back
     # would permanently degrade a tunneled transport (CLAUDE.md invariant)
     any_visible = ~np.all(batch["joints_img_mask"], axis=-1)
+    # crop boxes follow the decode-side downscale (see train.make_device_prepare)
+    crop_boxes = batch["bboxes"] / float(max(cfg.data.decode_scale_denom, 1))
     with jax.default_device(jax.local_devices(backend="cpu")[0]):
         rgb, heatmap = preprocess_views(
-            batch["full_rgb"], batch["bboxes"], batch["joints_crop_img"],
+            batch["full_rgb"], crop_boxes, batch["joints_crop_img"],
             any_visible, image_size=cfg.data.image_size,
             heatmap_size=cfg.data.heatmap_size, augment=False,
         )

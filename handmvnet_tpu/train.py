@@ -54,9 +54,17 @@ def make_device_prepare(cfg: Config, augment: bool, seed: int = 42):
         counter["step"] += 1
         rng = jax.random.PRNGKey(seed + counter["step"]) if augment else None
         any_visible = ~np.all(batch["joints_img_mask"], axis=-1)
+        # with decode-side downscale, frames are 1/denom-sized while label
+        # bboxes stay in source coords: scale the CROP boxes only (the same
+        # physical region is cut from the smaller frame; the model-facing
+        # bboxes for crop-FoV encoding / reprojection remain source-res)
+        d = cfg.data.decode_scale_denom
+        crop_boxes = jnp.asarray(batch["bboxes"])
+        if d > 1:
+            crop_boxes = crop_boxes / float(d)
         rgb, heatmap = preprocess_views(
             jnp.asarray(batch["full_rgb"]),
-            jnp.asarray(batch["bboxes"]),
+            crop_boxes,
             jnp.asarray(batch["joints_crop_img"]),
             jnp.asarray(any_visible),
             rng,

@@ -12,6 +12,7 @@
 //
 // Exposed C ABI:
 //   tario_create(paths, n_paths, num_views, height, width, n_threads, cap)
+//   tario_create_scaled(..., scale_denom)  — DCT-domain downscaled decode
 //   tario_next(loader, img_out, label_out, label_cap, key_out, key_cap)
 //     -> >=0: label size; TARIO_END when all shards are exhausted; <0 error
 //   tario_destroy(loader)
@@ -126,8 +127,12 @@ void jpeg_error_exit(j_common_ptr cinfo) {
 
 // Decode a JPEG into an RGB buffer of exactly height x width x 3; returns
 // false on malformed data or size mismatch.
+// scale_denom in {1,2,4,8}: libjpeg DCT-domain downscaling — decoding at
+// 1/2 resolution costs ~1/3 of a full decode (fewer IDCTs + fewer pixels),
+// the cheap lever when the host is decode-bound (LOADER_BENCH.json).
+// `height`/`width` are the EXPECTED OUTPUT dims (already divided).
 bool decode_jpeg_rgb(const uint8_t* data, size_t size, int height, int width,
-                     uint8_t* out) {
+                     uint8_t* out, int scale_denom) {
   jpeg_decompress_struct cinfo;
   JpegErrorMgr jerr;
   cinfo.err = jpeg_std_error(&jerr.mgr);
@@ -140,6 +145,8 @@ bool decode_jpeg_rgb(const uint8_t* data, size_t size, int height, int width,
   jpeg_mem_src(&cinfo, const_cast<uint8_t*>(data), size);
   jpeg_read_header(&cinfo, TRUE);
   cinfo.out_color_space = JCS_RGB;
+  cinfo.scale_num = 1;
+  cinfo.scale_denom = scale_denom > 0 ? scale_denom : 1;
   jpeg_start_decompress(&cinfo);
   if (static_cast<int>(cinfo.output_height) != height ||
       static_cast<int>(cinfo.output_width) != width ||
@@ -162,12 +169,13 @@ bool decode_jpeg_rgb(const uint8_t* data, size_t size, int height, int width,
 class Loader {
  public:
   Loader(std::vector<std::string> paths, int num_views, int height, int width,
-         int n_threads, int capacity)
+         int n_threads, int capacity, int scale_denom)
       : paths_(std::move(paths)),
         num_views_(num_views),
         height_(height),
         width_(width),
-        capacity_(capacity) {
+        capacity_(capacity),
+        scale_denom_(scale_denom > 0 ? scale_denom : 1) {
     for (int i = 0; i < n_threads; ++i) {
       workers_.emplace_back([this] { work(); });
     }
@@ -274,7 +282,7 @@ class Loader {
           if (buf.empty()) {
             buf.resize(static_cast<size_t>(height_) * width_ * 3);
             if (decode_jpeg_rgb(entry.payload.data(), entry.payload.size(),
-                                height_, width_, buf.data())) {
+                                height_, width_, buf.data(), scale_denom_)) {
               ++decoded;
             } else {
               buf.clear();  // failed decode leaves the view unfilled -> drop
@@ -301,6 +309,7 @@ class Loader {
 
   std::vector<std::string> paths_;
   int num_views_, height_, width_, capacity_;
+  int scale_denom_ = 1;
   std::vector<std::thread> workers_;
   std::mutex mu_;
   std::condition_variable cv_ready_, cv_space_;
@@ -318,7 +327,16 @@ void* tario_create(const char** paths, int n_paths, int num_views, int height,
                    int width, int n_threads, int capacity) {
   std::vector<std::string> vec(paths, paths + n_paths);
   return new Loader(std::move(vec), num_views, height, width, n_threads,
-                    capacity > 0 ? capacity : 64);
+                    capacity > 0 ? capacity : 64, /*scale_denom=*/1);
+}
+
+// height/width are the EXPECTED OUTPUT dims: ceil(orig / scale_denom).
+void* tario_create_scaled(const char** paths, int n_paths, int num_views,
+                          int height, int width, int n_threads, int capacity,
+                          int scale_denom) {
+  std::vector<std::string> vec(paths, paths + n_paths);
+  return new Loader(std::move(vec), num_views, height, width, n_threads,
+                    capacity > 0 ? capacity : 64, scale_denom);
 }
 
 // img_out must hold num_views*height*width*3 bytes. Returns the label byte

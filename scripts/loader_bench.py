@@ -46,6 +46,9 @@ def main() -> None:
                         help="train-step time to compare against "
                              "(flagship TPU measurement)")
     parser.add_argument("--passes", type=int, default=3)
+    parser.add_argument("--scale-denom", type=int, default=1,
+                        help="decode-side DCT downscale (DataConfig."
+                             "decode_scale_denom); 2 ~= 3x cheaper decode")
     parser.add_argument("--out", default=str(REPO / "LOADER_BENCH.json"))
     args = parser.parse_args()
 
@@ -78,6 +81,7 @@ def main() -> None:
         )
         n_samples = args.shards * args.samples_per_shard
 
+        result["scale_denom"] = args.scale_denom
         if native_available():
             n_threads = max(2, min(os.cpu_count() or 4, len(urls)))
             result["native_threads"] = n_threads
@@ -86,7 +90,7 @@ def main() -> None:
             for _ in range(args.passes):
                 loader = NativeShardLoader(
                     urls, num_views=args.views, image_hw=(480, 640),
-                    n_threads=n_threads,
+                    n_threads=n_threads, scale_denom=args.scale_denom,
                 )
                 t0 = time.perf_counter()
                 count = sum(1 for _ in loader)
@@ -99,6 +103,7 @@ def main() -> None:
             name="ho3d", batch_size=args.batch, dataset_dir=tmp,
             num_workers=0, augment=False, add_val_to_train=False,
             selected_views=tuple(range(args.views)),
+            decode_scale_denom=args.scale_denom,
         )
 
         class BenchHO3D(HO3DDataset):

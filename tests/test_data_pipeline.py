@@ -307,3 +307,63 @@ class TestDevicePrefetch:
         out = run(False)
         assert out == run(True)
         assert len(out) == 3
+
+
+class TestDecodeScaleDenom:
+    def test_prepare_path_crops_match_full_res(self, tmp_path):
+        """decode_scale_denom=2 end to end (dataset -> BatchLoader ->
+        make_device_prepare): crops cut the SAME region from the half-res
+        frames (close to the full-res crops on smooth content), GT heatmaps
+        are bit-identical (labels untouched), and the model-facing bboxes
+        stay in source coordinates."""
+        import dataclasses
+
+        import handmvnet_tpu.train as train_mod
+        from handmvnet_tpu.config import Config
+        from handmvnet_tpu.data.ho3d import HO3DDataset
+        from handmvnet_tpu.data.loader import BatchLoader
+        from handmvnet_tpu.data.synthetic import write_synthetic_ho3d_shards
+
+        write_synthetic_ho3d_shards(
+            tmp_path, num_shards=2, samples_per_shard=2, num_views=2,
+            split="train", consistent_geometry=True,
+        )
+
+        class TinyHO3D(HO3DDataset):
+            train_pattern = "HO3D_mv_train-{000000..000001}.tar"
+            test_pattern = train_pattern
+            split_sizes = {"train": 4, "train+val": 4, "val": 4, "test": 4}
+
+        def batch_for(denom: int):
+            cfg = Config.from_dict({
+                "data": {"name": "ho3d", "batch_size": 2,
+                         "dataset_dir": str(tmp_path), "augment": False,
+                         "decode_scale_denom": denom},
+                "model": {"selected_views": [0, 1],
+                          "backbone_pretrained": False},
+                "train": {},
+            })
+            ds = TinyHO3D(cfg.data, "test", use_native=False)
+            loader = BatchLoader(
+                ds, batch_size=2, steps_per_epoch=1,
+                device_prepare=train_mod.make_device_prepare(cfg, False),
+                device_prefetch=False,
+            )
+            return next(iter(loader))
+
+        full = batch_for(1)
+        half = batch_for(2)
+        import numpy as np
+
+        assert half["rgb"].shape == full["rgb"].shape  # both 256^2 crops
+        diff = np.abs(np.asarray(half["rgb"]) - np.asarray(full["rgb"]))
+        # normalized units (1 intensity level ~ 0.018). Halving resolution
+        # blurs the drawn skeleton edges (~0.14 measured); a mis-cropped
+        # region (the failure this guards) measures ~1.0+
+        assert diff.mean() < 0.3, diff.mean()
+        np.testing.assert_array_equal(
+            np.asarray(half["heatmap"]), np.asarray(full["heatmap"])
+        )
+        np.testing.assert_array_equal(
+            np.asarray(half["bboxes"]), np.asarray(full["bboxes"])
+        )

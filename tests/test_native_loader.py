@@ -128,3 +128,68 @@ class TestMalformedShards:
         loader.close()
         assert target not in keys  # incomplete sample dropped
         assert len(keys) == 2  # the other samples still come through
+
+
+@pytest.fixture(scope="module")
+def smooth_shards(tmp_path_factory):
+    # consistent-geometry frames (dark background + drawn skeleton) are
+    # JPEG-friendly; the default noise shards aren't meaningful for a
+    # downscale-fidelity comparison (JPEG already destroys the noise)
+    d = tmp_path_factory.mktemp("native_shards_smooth")
+    return write_synthetic_ho3d_shards(
+        d, num_shards=2, samples_per_shard=3, consistent_geometry=True
+    )
+
+
+class TestScaledDecode:
+    def test_half_decode_matches_area_downscale(self, built_lib, smooth_shards):
+        """scale_denom=2 must emit 240x320 frames whose content matches an
+        INTER_AREA downscale of the full decode (libjpeg's DCT-domain scaling
+        is a DCT box filter — distribution-close, not bit-equal)."""
+        import cv2
+
+        shards = smooth_shards
+        full = built_lib.NativeShardLoader(shards, num_views=5, n_threads=2)
+        full_imgs = {key: imgs for key, imgs, _ in full}
+        full.close()
+
+        half = built_lib.NativeShardLoader(
+            shards, num_views=5, n_threads=2, scale_denom=2
+        )
+        count = 0
+        for key, imgs, _labels in half:
+            assert imgs.shape == (5, 240, 320, 3), imgs.shape
+            ref = np.stack([
+                cv2.resize(im, (320, 240), interpolation=cv2.INTER_AREA)
+                for im in full_imgs[key]
+            ])
+            diff = np.abs(imgs.astype(np.int16) - ref.astype(np.int16))
+            assert diff.mean() < 6.0, diff.mean()  # intensity levels
+            count += 1
+        half.close()
+        assert count == len(full_imgs)
+
+    def test_dataset_end_to_end_halved(self, built_lib, shards, tmp_path):
+        """decode_scale_denom=2 through HO3DDataset: native and python
+        readers both emit half-res frames; labels stay in source coords."""
+        from handmvnet_tpu.config import DataConfig
+        from handmvnet_tpu.data.ho3d import HO3DDataset
+
+        cfg = DataConfig(
+            name="ho3d", dataset_dir=str(Path(shards[0]).parent),
+            num_workers=0, augment=False, decode_scale_denom=2,
+            selected_views=(0, 1, 2, 3, 4),
+        )
+
+        class TinyHO3D(HO3DDataset):
+            train_pattern = "HO3D_mv_train-{000000..000001}.tar"
+            test_pattern = train_pattern
+            split_sizes = {"train": 6, "train+val": 6, "val": 6, "test": 6}
+
+        for use_native in (True, False):
+            ds = TinyHO3D(cfg, "test", use_native=use_native)
+            sample = next(iter(ds))
+            assert sample["full_rgb"].shape[1:] == (240, 320, 3), (
+                use_native, sample["full_rgb"].shape)
+            # labels untouched: bboxes still span source (480x640) coords
+            assert sample["bboxes"].max() > 320
