@@ -278,6 +278,44 @@ class TestBatchLoader:
         assert batches[0]["joints_cam"].shape == (2, 21, 3)
 
 
+class TestBatchLoaderLifecycle:
+    def _loader(self, shard_dir, device_prepare=None, steps=3):
+        cfg = DataConfig(dataset_dir=str(shard_dir), batch_size=2)
+
+        class DS(HO3DDataset):
+            train_pattern = "HO3D_mv_train-{000000..000002}.tar"
+            test_pattern = "HO3D_mv_test-{000000..000002}.tar"
+
+        return BatchLoader(DS(cfg, "test"), batch_size=2, steps_per_epoch=steps,
+                           device_prepare=device_prepare)
+
+    def test_early_exit_then_reiterate(self, shard_dir):
+        """Taking one batch and abandoning the epoch (the vis-loader usage)
+        must wind the producer down so a later full iteration works instead
+        of racing a thread still holding the sample generator."""
+        loader = self._loader(shard_dir)
+        first = next(iter(loader))  # generator closed mid-epoch on return
+        assert first["joints_cam"].shape == (2, 21, 3)
+        for _ in range(2):
+            batches = list(loader)
+            assert len(batches) == 3
+
+    def test_dead_after_pipeline_error(self, shard_dir):
+        """A device_prepare failure must surface in the consumer AND mark
+        the loader dead — re-iterating a loader whose producer's position is
+        undefined would yield silently wrong epochs."""
+        import pytest
+
+        def boom(batch):
+            raise ValueError("prepare exploded")
+
+        loader = self._loader(shard_dir, device_prepare=boom)
+        with pytest.raises(ValueError, match="prepare exploded"):
+            list(loader)
+        with pytest.raises(RuntimeError, match="dead"):
+            next(iter(loader))
+
+
 class TestDevicePrefetch:
     def test_prefetch_stage_yields_identical_batches(self, shard_dir):
         """The double-buffered device-prefetch stage must be a pure
