@@ -34,6 +34,7 @@ def preprocess_views(
     image_size: int = 256,
     heatmap_size: int = 32,
     augment: bool = False,
+    box_scale_denom: int = 1,
 ):
     """Args:
       full_rgb: [B, V, H, W, 3] uint8 raw frames.
@@ -41,6 +42,9 @@ def preprocess_views(
       joints_crop: [B, V, J, 2] crop-space 2D joints (for heatmaps).
       any_visible: [B, V] bool — False triggers the black-image rule.
       rng: augmentation PRNG key (required when augment=True).
+      box_scale_denom: decode-side downscale factor of the incoming frames
+        AND bboxes (DataConfig.decode_scale_denom); restores source-res
+        crop sides for the augmentation-size convention.
 
     Returns:
       rgb [B, V, S, S, 3] float32 normalized, heatmaps [B, V, J, h, h].
@@ -57,9 +61,13 @@ def preprocess_views(
         assert rng is not None
         # crop-space scaling: the reference augments the un-resized crop
         # (ho3d.py:145-148), so blur/occlusion sizes are relative to the
-        # bbox side, not the raster
+        # SOURCE-resolution bbox side, not the raster. With decode-side
+        # downscaling the incoming boxes are in 1/denom frame coords —
+        # multiply back so the augmentation distribution is unchanged.
         sides = jnp.maximum(
-            (flat_box[:, 2] - flat_box[:, 0]).astype(jnp.float32), 1.0
+            (flat_box[:, 2] - flat_box[:, 0]).astype(jnp.float32)
+            * float(box_scale_denom),
+            1.0,
         )
         crops = augment_batch(crops, rng, crop_scales=image_size / sides)
 

@@ -55,6 +55,23 @@ def _to_homogeneous(points: jax.Array) -> jax.Array:
     return jnp.concatenate([points, jnp.ones_like(points[..., :1])], axis=-1)
 
 
+def rigid_inverse(t: jax.Array) -> jax.Array:
+    """Closed-form inverse of [..., 4, 4] rigid (SE(3)) transforms:
+    inv([[R, t], [0, 1]]) = [[R^T, -R^T t], [0, 1]]. Exact, cheaper, and —
+    unlike jnp.linalg.inv's batched LU — fusible into the surrounding einsum
+    chain (this runs inside every g2d/p2d train step via reproject_to_views,
+    losses.py)."""
+    r = t[..., :3, :3]
+    trans = t[..., :3, 3]
+    rt = jnp.swapaxes(r, -1, -2)
+    new_t = -jnp.einsum("...ij,...j->...i", rt, trans)
+    out = jnp.zeros_like(t)
+    out = out.at[..., :3, :3].set(rt)
+    out = out.at[..., :3, 3].set(new_t)
+    out = out.at[..., 3, 3].set(1.0)
+    return out
+
+
 def cam_to_world(points: jax.Array, t_cam2world: jax.Array) -> jax.Array:
     """points: [..., N, 3]; t_cam2world: [..., 4, 4]."""
     ph = _to_homogeneous(points)
@@ -64,7 +81,7 @@ def cam_to_world(points: jax.Array, t_cam2world: jax.Array) -> jax.Array:
 
 def world_to_cam(points: jax.Array, t_cam2world: jax.Array) -> jax.Array:
     ph = _to_homogeneous(points)
-    inv = jnp.linalg.inv(t_cam2world)
+    inv = rigid_inverse(t_cam2world)
     out = jnp.einsum("...ij,...nj->...ni", inv, ph)
     return out[..., :3]
 
@@ -77,7 +94,7 @@ def transform_between_cameras(
     points: [..., N, 3]; extrinsics: [..., 4, 4] camera->world.
     reference: src/utils/camera.py:4-22.
     """
-    rel = jnp.einsum("...ij,...jk->...ik", jnp.linalg.inv(dst_extrinsic), src_extrinsic)
+    rel = jnp.einsum("...ij,...jk->...ik", rigid_inverse(dst_extrinsic), src_extrinsic)
     ph = _to_homogeneous(points)
     out = jnp.einsum("...ij,...nj->...ni", rel, ph)
     return out[..., :3]
@@ -105,8 +122,8 @@ def reproject_to_views(
       [B, V, N, 2] pixel coordinates per view.
     """
     src = jnp.take(extrinsics, jnp.asarray(root_idx), axis=1)  # [B, 4, 4]
-    # relative transform per view: inv(T_v) @ T_root
-    rel = jnp.einsum("bvij,bjk->bvik", jnp.linalg.inv(extrinsics), src)
+    # relative transform per view: inv(T_v) @ T_root (rigid closed form)
+    rel = jnp.einsum("bvij,bjk->bvik", rigid_inverse(extrinsics), src)
     ph = _to_homogeneous(joints_3d)  # [B, N, 4]
     in_view = jnp.einsum("bvij,bnj->bvni", rel, ph)[..., :3]
     uvd = project_points(in_view * 1000.0, intrinsics)

@@ -45,10 +45,19 @@ def _resize_weights_np(in_size: int, out_size: int) -> np.ndarray:
     return w.astype(np.float32)
 
 
-def resize_bilinear_antialias(img: jax.Array, out_hw: tuple[int, int]) -> jax.Array:
+def resize_bilinear_antialias(
+    img: jax.Array, out_hw: tuple[int, int], channels: bool | None = None
+) -> jax.Array:
     """Resize [..., H, W] (or [..., H, W, C]) maps with PIL/torch antialias
-    bilinear semantics. Sizes are static; weights are baked constants."""
-    has_channels = img.ndim >= 3 and img.shape[-1] <= 4 and img.shape[-3] > 4
+    bilinear semantics. Sizes are static; weights are baked constants.
+
+    channels: pass explicitly when the layout is known. The default
+    heuristic (trailing dim <= 4 with a larger dim at -3 means NHWC) is
+    ambiguous for channel-less stacks whose W <= 4 — those MUST pass
+    channels=False or the wrong two axes get resized."""
+    if channels is None:
+        channels = img.ndim >= 3 and img.shape[-1] <= 4 and img.shape[-3] > 4
+    has_channels = channels
     if has_channels:
         h, w = img.shape[-3], img.shape[-2]
     else:

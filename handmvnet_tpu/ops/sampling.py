@@ -10,9 +10,11 @@ zero -- which matters because HandMvNet deliberately feeds 32x32-space
 coordinates to every pyramid level, including 16x16/8x8 maps
 (src/models/handmvnet.py:182-185); that quirk is replicated, not fixed.
 
-TPU note: 21 points/view is tiny; a one-hot matmul formulation keeps the
-gather on the MXU and vectorizes over the batch*views dim instead of doing
-scalar gathers.
+TPU note: 21 points/view is tiny. The implementation is four
+take_along_axis gathers over feat reshaped to [B, H*W, C] (one per bilinear
+corner tap), vectorized over the batch*views dim — measured inside the
+~0.07 ms fusion+heads budget (ROADMAP 5b), so the alternative one-hot
+matmul formulation (which would put the gather on the MXU) was not needed.
 """
 
 from __future__ import annotations

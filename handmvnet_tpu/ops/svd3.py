@@ -101,7 +101,17 @@ def symeig3x3(a: jax.Array, polish_sweeps: int = 2):
     v2 = _eigvec_for(a, w[..., 2])
     # middle eigenvector: orthogonal completion (exact for symmetric A)
     v2 = v2 - jnp.sum(v2 * v0, axis=-1, keepdims=True) * v0
-    v2 = v2 / jnp.maximum(jnp.linalg.norm(v2, axis=-1, keepdims=True), 1e-30)
+    n2 = jnp.linalg.norm(v2, axis=-1, keepdims=True)
+    # repeated/degenerate eigenvalues (scalar A, H^T H = c*I, H ~ 0): both
+    # analytic eigenvectors collapse onto the same direction and the
+    # projection above is ~0 — complete an orthonormal basis from the
+    # coordinate axis least aligned with v0 instead of emitting a rank-1 V
+    axis_x = jnp.zeros_like(v0).at[..., 0].set(1.0)
+    axis_y = jnp.zeros_like(v0).at[..., 1].set(1.0)
+    alt = jnp.where(jnp.abs(v0[..., 0:1]) < 0.9, axis_x, axis_y)
+    alt = alt - jnp.sum(alt * v0, axis=-1, keepdims=True) * v0
+    alt = alt / jnp.maximum(jnp.linalg.norm(alt, axis=-1, keepdims=True), 1e-30)
+    v2 = jnp.where(n2 > 1e-3, v2 / jnp.maximum(n2, 1e-30), alt)
     v1 = jnp.cross(v2, v0)
     v = jnp.stack([v0, v1, v2], axis=-1)
     if polish_sweeps:

@@ -90,7 +90,12 @@ def batch_triangulate_dlt_ransac(
 
     xs, counts = jax.vmap(hypothesis)(combo_idx)  # [C, B, J, 3], [C, B, J]
     best = jnp.argmax(counts, axis=0)  # [B, J]
-    return jnp.take_along_axis(xs, best[None, ..., None], axis=0)[0]
+    chosen = jnp.take_along_axis(xs, best[None, ..., None], axis=0)[0]
+    # reference parity (triangulation.py:61-95): best_X starts at zeros with
+    # a strict > update, so a joint where NO hypothesis gains any inlier
+    # returns (0,0,0), not an arbitrary hypothesis's solution
+    any_inlier = counts.max(axis=0) > 0  # [B, J]
+    return jnp.where(any_inlier[..., None], chosen, 0.0)
 
 
 def triangulate_dlt_confident(

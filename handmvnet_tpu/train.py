@@ -71,6 +71,7 @@ def make_device_prepare(cfg: Config, augment: bool, seed: int = 42):
             image_size=cfg.data.image_size,
             heatmap_size=cfg.data.heatmap_size,
             augment=augment,
+            box_scale_denom=d,
         )
         out = {
             k: jnp.asarray(v)

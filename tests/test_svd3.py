@@ -83,3 +83,35 @@ class TestDegenerateInputs:
         assert np.isfinite(np.asarray(u)).all()
         rec = np.asarray(u) @ np.diag(np.asarray(s)[0]) @ np.asarray(vt)[0]
         assert np.allclose(rec, np.asarray(h)[0], atol=2e-3)  # fp32 roundoff at |h|~9
+
+
+class TestDegenerateSpectra:
+    """Scalar/zero H^T H (repeated eigenvalues): V must stay orthonormal —
+    the analytic eigenvector picks collapse onto one direction there, and a
+    rank-1 V reconstructs silently-wrong alignments (no NaN to flag it)."""
+
+    def _check(self, h):
+        import jax.numpy as jnp
+
+        from handmvnet_tpu.ops.svd3 import svd3x3
+
+        u, s, vt = svd3x3(jnp.asarray(h, jnp.float32))
+        u, s, vt = np.asarray(u), np.asarray(s), np.asarray(vt)
+        np.testing.assert_allclose(u @ u.T, np.eye(3), atol=1e-5)
+        np.testing.assert_allclose(vt @ vt.T, np.eye(3), atol=1e-5)
+        np.testing.assert_allclose(u @ np.diag(s) @ vt, h, atol=1e-5)
+
+    def test_identity(self):
+        self._check(np.eye(3, dtype=np.float32))
+
+    def test_scaled_rotation(self):
+        q, _ = np.linalg.qr(np.random.default_rng(3).normal(size=(3, 3)))
+        if np.linalg.det(q) < 0:
+            q[:, 0] *= -1
+        self._check((0.37 * q).astype(np.float32))
+
+    def test_zero(self):
+        self._check(np.zeros((3, 3), np.float32))
+
+    def test_two_equal_singular_values(self):
+        self._check(np.diag([2.0, 2.0, 0.5]).astype(np.float32))
