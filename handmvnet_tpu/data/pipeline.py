@@ -23,7 +23,7 @@ from handmvnet_tpu.ops.heatmap import render_gaussian_heatmaps_resized
 from handmvnet_tpu.ops.resize import IMAGENET_MEAN, IMAGENET_STD, crop_resize_normalize
 
 
-@partial(jax.jit, static_argnames=("image_size", "heatmap_size", "augment"))
+@partial(jax.jit, static_argnames=("image_size", "heatmap_size", "augment", "box_scale_denom"))
 def preprocess_views(
     full_rgb: jax.Array,
     bboxes: jax.Array,

@@ -49,9 +49,11 @@ def synthetic_batch(
     extr[:, :3, 3] = rng.normal(size=(b * v, 3)) * 0.2
     extr = extr.reshape(b, v, 4, 4).astype(np.float32)
 
-    # margin shrinks proportionally for small images (dryrun shapes);
-    # >=100px unchanged (min(30, 0.3*size) == 30 there)
-    margin = min(30, int(image_size * 0.3))
+    # margin 30 for >=64px images (historical distribution many tests'
+    # tolerances are tuned to — at 64px that is a deliberately narrow
+    # [30, 34] band); proportional below 64 so tiny dryrun shapes never get
+    # a zero/negative-width interval
+    margin = 30 if image_size >= 64 else int(image_size * 0.3)
     joints_crop = rng.uniform(
         margin, image_size - margin, size=(b, v, j, 2)
     ).astype(np.float32)
