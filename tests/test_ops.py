@@ -384,3 +384,48 @@ class TestGeometryExtras:
         k = np.asarray(intrinsics_vec_to_matrix(jnp.asarray([600.0, 610.0, 320.0, 240.0])))
         expect = np.array([[600, 0, 320], [0, 610, 240], [0, 0, 1]], dtype=np.float32)
         np.testing.assert_array_equal(k, expect)
+
+
+class TestTorchBatchNormStats:
+    def test_unbiased_running_var_update_matches_torch(self, rng):
+        """One train-mode forward: flax stock BatchNorm stores the BIASED
+        batch variance into running stats, torch stores the Bessel-corrected
+        one — TorchBatchNorm must follow torch exactly (layers.py)."""
+        import torch
+        import jax
+        import jax.numpy as jnp
+
+        from handmvnet_tpu.models.layers import batch_norm
+
+        c = 7
+        x = rng.normal(size=(3, 5, 6, c)).astype(np.float32)
+        tbn = torch.nn.BatchNorm2d(c, eps=1e-5, momentum=0.1).train()
+        with torch.no_grad():
+            tbn.weight.copy_(torch.from_numpy(rng.normal(size=c).astype(np.float32)))
+            tbn.bias.copy_(torch.from_numpy(rng.normal(size=c).astype(np.float32)))
+        y_t = tbn(torch.from_numpy(np.transpose(x, (0, 3, 1, 2))))
+
+        bn = batch_norm("bn")
+        # applied standalone, the module's own name isn't part of the scope
+        variables = {
+            "params": {"scale": jnp.asarray(tbn.weight.detach().numpy()),
+                       "bias": jnp.asarray(tbn.bias.detach().numpy())},
+            "batch_stats": {"mean": jnp.zeros(c), "var": jnp.ones(c)},
+        }
+        y_j, mut = bn.apply(
+            variables, jnp.asarray(x), use_running_average=False,
+            mutable=["batch_stats"],
+        )
+        np.testing.assert_allclose(
+            np.asarray(y_j), np.transpose(y_t.detach().numpy(), (0, 2, 3, 1)),
+            atol=1e-5,
+        )
+        np.testing.assert_allclose(
+            np.asarray(mut["batch_stats"]["mean"]),
+            tbn.running_mean.numpy(), rtol=1e-5,
+        )
+        # the discriminating assertion: torch's running_var uses n/(n-1)
+        np.testing.assert_allclose(
+            np.asarray(mut["batch_stats"]["var"]),
+            tbn.running_var.numpy(), rtol=1e-5,
+        )
