@@ -50,20 +50,15 @@ def _merge_numeric_segments(key: str) -> list[str]:
     return out
 
 
-def convert_torch_state_dict(
-    state_dict: Mapping[str, Any],
-    transpose_conv_paths: tuple[str, ...] = ("pose_net_0",),
-) -> dict:
+def convert_torch_state_dict(state_dict: Mapping[str, Any]) -> dict:
     """Convert a torch state_dict (tensors or ndarrays) into flax variables
     {"params": ..., "batch_stats": ...}.
 
-    transpose_conv_paths: path substrings whose 4-D weights belong to
-    ConvTranspose2d modules (in this model family: only the resnet18/34
-    pose_net upsampling conv). Note HRNet has no transposed convs, and the
-    50_paper pose_net_0 is a plain 1x1 conv — but its weight is
-    [512, 1024, 1, 1]; the transpose rule (2,3,1,0) happens to be identical
-    for ConvTranspose only when spatial dims are handled right, so the
-    substring match is refined by kernel size below.
+    One permutation covers every conv family: torch Conv2d stores [O, I, kh,
+    kw] -> flax HWIO via (2,3,1,0), and torch ConvTranspose2d stores
+    [I, O, kh, kw] -> the SAME (2,3,1,0) because flax ConvTranspose with
+    transpose_kernel semantics swaps I/O (the resnet18/34 pose_net upsample
+    stack is the only transposed conv in this model family).
     """
     variables: dict = {"params": {}, "batch_stats": {}}
 
@@ -95,10 +90,8 @@ def convert_torch_state_dict(
         elif leaf == "weight":
             if v.ndim == 4 and is_cheb:
                 coll, out_path, arr = "params", path + ("weight",), v
-            elif v.ndim == 4 and any(s in path_str for s in transpose_conv_paths) and v.shape[2] == 4:
-                # ConvTranspose2d [I, O, kh, kw] -> [kh, kw, O, I]
-                coll, out_path, arr = "params", path + ("kernel",), np.transpose(v, (2, 3, 1, 0))
             elif v.ndim == 4:
+                # Conv2d [O,I,kh,kw] AND ConvTranspose2d [I,O,kh,kw] -> HWIO
                 coll, out_path, arr = "params", path + ("kernel",), np.transpose(v, (2, 3, 1, 0))
             elif v.ndim == 2:
                 coll, out_path, arr = "params", path + ("kernel",), np.transpose(v, (1, 0))

@@ -68,26 +68,6 @@ def pose_metrics_device(
     return result
 
 
-def compute_pose_metrics(
-    out: Mapping[str, jax.Array],
-    labels: Mapping[str, jax.Array],
-    cfg: Config,
-    mode: str = "val",
-    vertices_fn: Callable | None = None,
-) -> Dict[str, Any]:
-    """Host-side wrapper: device metrics -> python scalars with mode prefix."""
-    device = pose_metrics_device(
-        out, labels, cfg.auc_thresholds,
-        mask_invisible=True, root_relative=cfg.train.root_relative,
-        vertices_fn=vertices_fn,
-    )
-    host = jax.device_get(device)  # one transfer for all metrics
-    return {
-        f"{mode}_{k}": (np.asarray(v).tolist() if np.ndim(v) else float(v))
-        for k, v in host.items()
-    }
-
-
 def labels_in_meters(batch: Mapping[str, np.ndarray]) -> Dict[str, Any]:
     labels = dict(batch)
     labels["joints_cam"] = jnp.asarray(batch["joints_cam"]) / 1000.0
@@ -115,9 +95,11 @@ class MetricAverager:
             self._sums[k] = self._sums.get(k, 0.0) + v
 
     def result(self) -> Dict[str, Any]:
+        if not self._sums:
+            return {}
         out = {}
         for k, v in self._sums.items():
-            avg = v / max(self._count, 1)
+            avg = v / self._count  # count > 0 whenever _sums is non-empty
             out[k] = avg.tolist() if avg.ndim else float(avg)
         return out
 
@@ -164,7 +146,7 @@ class DeviceMetricAverager:
         host = jax.device_get(self._sums)
         out = {}
         for k, v in host.items():
-            avg = np.asarray(v, np.float64) / max(self._count, 1)
+            avg = np.asarray(v, np.float64) / self._count  # > 0 when _sums set
             out[k] = avg.tolist() if avg.ndim else float(avg)
         return out
 
@@ -235,6 +217,7 @@ class CheckpointManager:
         last = self.out_dir / "last"
         save_checkpoint(last, state)
         if val_mpjpe < self.best_val:
+            prev_best = self.best_path
             self.best_val = val_mpjpe
             name = f"epoch={epoch}-step={int(state.step)}-val_mpjpe={val_mpjpe:.3f}"
             path = self.out_dir / name
@@ -243,6 +226,13 @@ class CheckpointManager:
             self._meta_path.write_text(
                 json.dumps({"best_val": self.best_val, "best_path": str(path)})
             )
+            # keep best + last only (Lightning ModelCheckpoint save_top_k=1,
+            # reference train.py:34): a full orbax state is ~3x model size,
+            # and early training improves val_mpjpe nearly every epoch
+            if prev_best is not None and prev_best != path and prev_best.exists():
+                import shutil
+
+                shutil.rmtree(prev_best, ignore_errors=True)
 
     def restore_best(self, template):
         from handmvnet_tpu.checkpoint import restore_checkpoint

@@ -89,6 +89,16 @@ def handmvnet_loss(
         losses["root_3d_loss"] = l1_loss(out["root_joint"], inputs["root_joint"], weights.joints_3d)
 
     if weights.g2d is not None:
+        # fail loudly like the reference (KeyError on loss_weights['p2d'],
+        # missing cam params): a silent 0-weight term would log a spurious
+        # p2d_loss=0 while the user believes the consistency term is active
+        assert weights.p2d is not None, (
+            "loss_weights.g2d is set but p2d is missing (reference "
+            "handmvnet.py:323-343 requires both)"
+        )
+        assert intrinsics is not None and extrinsics is not None, (
+            "g2d/p2d reprojection losses require camera intrinsics+extrinsics"
+        )
         # reproject predicted 3D (+root) into each view's crop space
         root = inputs["root_joint"] if root_relative else out["root_joint"]
         projected = reproject_to_views(
@@ -100,7 +110,7 @@ def handmvnet_loss(
             projected.reshape(b * v, -1, 2), boxes, image_size
         ).reshape(b, v, -1, 2)
         losses["g2d_loss"] = l1_loss(proj_crop, inputs["joints_crop_img"], weights.g2d)
-        losses["p2d_loss"] = l1_loss(proj_crop, out["joints_crop_img"], weights.p2d or 0.0)
+        losses["p2d_loss"] = l1_loss(proj_crop, out["joints_crop_img"], weights.p2d)
 
     losses["loss"] = sum(losses.values())
     return losses

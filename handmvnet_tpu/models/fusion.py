@@ -66,7 +66,9 @@ class CrossAttentionFusionLearnableQuery(nn.Module):
     dropout: float = 0.0
 
     @nn.compact
-    def __call__(self, x: jax.Array, add_pos: bool = True, train: bool = False) -> jax.Array:
+    def __call__(self, x: jax.Array, train: bool = False) -> jax.Array:
+        # (no add_pos knob: the reference applies per-block sinusoidal PE
+        # unconditionally in this variant, layers.py:240-301)
         for i, cross in enumerate((False, False, True, False, False)):
             x = MultiHeadAttentionLearnableQuery(
                 d_model=self.feat_dim, max_tokens=self.max_tokens,

@@ -176,6 +176,10 @@ class HandMvNet(nn.Module):
 
         out: Dict[str, Any] = {}
         if not self.root_relative:
+            assert bbox is not None, (
+                "the absolute-root branch needs bboxes for the wrist tokens' "
+                "absolute 2D coordinates (reference handmvnet.py:236-249)"
+            )
             # Absolute-root branch. The reference defines this capability but
             # its tensor plumbing is shape-inconsistent and unreachable from
             # release configs (src/models/handmvnet.py:236-249); implemented

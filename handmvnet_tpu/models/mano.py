@@ -183,13 +183,19 @@ class ManoDecoder:
             self.layers[side] = ManoLayer(model)
 
     def decode(self, pose, shape=None, side: str = "right"):
-        """pose: [B, 48] axis-angle or [B, 16, 3, 3] rotmats; shape: [B, 10]."""
+        """pose: [B, 48] axis-angle or [B, 16, 3, 3] rotmats; shape: [B, 10].
+
+        Axis-angle input follows the reference decoder's manopth settings
+        (flat_hand_mean=False, mano_decoder.py:6-7): the articulation part is
+        an offset from hands_mean, so pose=0 gives the MEAN-pose hand, not a
+        flat hand. (The synthetic stand-in model has hands_mean=0, where the
+        two conventions coincide.)"""
         import jax.numpy as jnp
 
         layer = self.layers[side]
         pose = jnp.asarray(pose)
         if pose.ndim == 2:
-            return layer.from_axis_angle(pose, shape)
+            return layer.from_axis_angle(pose, shape, flat_hand_mean=False)
         return layer(pose, shape)
 
 
@@ -263,16 +269,31 @@ class ManoLayer:
         joints21 = joints21[:, np.asarray(constants.MANO_TO_MEDIAPIPE), :]
         return verts * 1000.0, joints21 * 1000.0  # millimeters (manopth convention)
 
-    def from_axis_angle(self, pose: jax.Array, betas: jax.Array | None = None):
+    def from_axis_angle(
+        self,
+        pose: jax.Array,
+        betas: jax.Array | None = None,
+        flat_hand_mean: bool = True,
+    ):
         """Axis-angle pose [B, 48] (3 global + 45 articulation) -> forward.
 
         The reference's ManoDecoder wrapper feeds manopth in PCA mode with 45
         components == the full articulation space (reference
         src/models/mano_decoder.py:4-31); with all components the PCA basis
         is invertible so axis-angle input is the equivalent capability.
+        flat_hand_mean=False adds the model's hands_mean to the articulation
+        part, matching manopth's flat_hand_mean=False (full_pose = input +
+        hands_mean) which the reference decoder uses.
         """
+        import jax.numpy as jnp
+
         from handmvnet_tpu.models.ik import rodrigues
 
+        if not flat_hand_mean:
+            mean = jnp.concatenate(
+                [jnp.zeros(3, pose.dtype), jnp.asarray(self.model.hands_mean, pose.dtype)]
+            )
+            pose = pose + mean
         b = pose.shape[0]
         aa = pose.reshape(b, 16, 3)
         angle = jnp.linalg.norm(aa, axis=-1)

@@ -230,3 +230,37 @@ class TestDormantParityVsTorch:
             t_f = t_freq(torch.from_numpy(x))
         f = frequency_encoding(jnp.asarray(x), num_frequencies=4)
         np.testing.assert_allclose(np.asarray(f), t_f.numpy(), atol=1e-5)
+
+
+class TestManoDecoderHandsMean:
+    def test_axis_angle_decode_adds_hands_mean(self):
+        """The reference decoder runs manopth with flat_hand_mean=False
+        (mano_decoder.py:6-7): full articulation = input + hands_mean, so
+        decode(0) is the MEAN-pose hand. Verified with a nonzero-mean
+        model: decode(0) == the flat-hand forward at pose=hands_mean."""
+        import dataclasses
+
+        import jax.numpy as jnp
+
+        from handmvnet_tpu.models.mano import (
+            ManoLayer,
+            synthetic_mano_model,
+        )
+
+        rng = np.random.default_rng(5)
+        base = synthetic_mano_model()
+        mean = (rng.normal(size=45) * 0.2).astype(np.float32)
+        model = dataclasses.replace(base, hands_mean=mean)
+        layer = ManoLayer(model)
+
+        zero48 = jnp.zeros((2, 48))
+        v_mean, j_mean = layer.from_axis_angle(zero48, flat_hand_mean=False)
+        explicit = jnp.concatenate(
+            [jnp.zeros((2, 3)), jnp.tile(jnp.asarray(mean), (2, 1))], axis=1
+        )
+        v_ref, j_ref = layer.from_axis_angle(explicit, flat_hand_mean=True)
+        np.testing.assert_allclose(np.asarray(v_mean), np.asarray(v_ref), atol=1e-3)
+        np.testing.assert_allclose(np.asarray(j_mean), np.asarray(j_ref), atol=1e-3)
+        # and it differs from the flat hand (the bug this pins: mean ignored)
+        v_flat, _ = layer.from_axis_angle(zero48, flat_hand_mean=True)
+        assert np.abs(np.asarray(v_mean) - np.asarray(v_flat)).max() > 1.0  # mm

@@ -126,3 +126,27 @@ def test_best_val_survives_resume(tmp_path):
 
     restored = m2.restore_best(state(0))
     assert float(restored.params["w"][0]) == 3.0
+
+
+@pytest.mark.slow
+def test_best_checkpoint_pruned_on_improvement(tmp_path):
+    """Lightning ModelCheckpoint keeps best + last only (save_top_k=1,
+    reference train.py:34): an improving run must not accumulate a full
+    orbax train state per improvement."""
+    import jax.numpy as jnp
+
+    from handmvnet_tpu.engine import CheckpointManager
+    from handmvnet_tpu.parallel.train_step import TrainState
+
+    def state(v):
+        return TrainState(step=jnp.asarray(v, jnp.int32),
+                          params={"w": jnp.full((2,), float(v))},
+                          batch_stats={}, opt_state=())
+
+    m = CheckpointManager(tmp_path / "ck")
+    for epoch, val in enumerate([9.0, 7.0, 5.0]):  # improves every epoch
+        m.save(state(epoch), epoch=epoch, val_mpjpe=val)
+    dirs = sorted(p.name for p in (tmp_path / "ck").iterdir() if p.is_dir())
+    assert dirs == ["epoch=2-step=2-val_mpjpe=5.000", "last"], dirs
+    restored = m.restore_best(state(0))
+    assert float(restored.params["w"][0]) == 2.0
