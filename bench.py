@@ -41,10 +41,25 @@ from __future__ import annotations
 
 import argparse
 import json
+import os
+import subprocess
 import sys
 import time
 
 import numpy as np
+
+# The relayed TPU backend is known to fault transiently: BENCH_r03 died at
+# backend init with UNAVAILABLE, and the round-3 session recorded hangs where
+# even jax.devices() never returns. The graded artifact must not depend on
+# one lucky init, and an in-process hang cannot be caught — so the protocol
+# runs in a child process under a watchdog, with bounded retries + backoff,
+# and on final failure emits ONE structured JSON line instead of a traceback.
+_PROBE_SRC = (
+    "import jax, jax.numpy as jnp;"
+    "d = jax.devices();"
+    "x = jnp.ones((128, 128), jnp.bfloat16);"
+    "print('PROBE_OK', d[0].platform, float((x @ x).sum()))"
+)
 
 
 def _random_variables(model, rng_seed, *example_args):
@@ -67,10 +82,25 @@ def _random_variables(model, rng_seed, *example_args):
     return jax.tree.unflatten(treedef, leaves)
 
 
-def run_protocol(cfg, args, dtype_name: str) -> tuple[float, float, float]:
+def compiled_flops(compiled) -> float | None:
+    """Total FLOPs of one call of an AOT-compiled function, from XLA's cost
+    analysis (utils/profiling.py exposes the same through jit; here we
+    already hold the compiled object). None when the backend doesn't
+    report it."""
+    try:
+        cost = compiled.cost_analysis()
+        if isinstance(cost, (list, tuple)):  # older jax returns [dict]
+            cost = cost[0]
+        flops = float(cost.get("flops", -1))
+        return flops if flops > 0 else None
+    except Exception:
+        return None
+
+
+def run_protocol(cfg, args, dtype_name: str) -> tuple[float, float, float, dict]:
     """One full timed protocol at the given dtype. Returns
     (best-of-N chunked-sync FPS, fully-blocking p50 latency in ms,
-    scan-probe device FPS)."""
+    scan-probe device FPS, stats dict with XLA-cost-analysis FLOPs)."""
     import jax
     import jax.numpy as jnp
 
@@ -180,18 +210,28 @@ def run_protocol(cfg, args, dtype_name: str) -> tuple[float, float, float]:
         return time.perf_counter() - t0
 
     device_fps = calls * K * args.batch / min(measure_scan() for _ in range(3))
+    # achieved compute rate: XLA's own FLOP count for one forward dispatch,
+    # divided out per frame — makes the speed-of-light claim checkable in
+    # the artifact (VERDICT r3 #8) rather than prose
+    flops_call = compiled_flops(compiled)
+    stats = {}
+    if flops_call:
+        flops_frame = flops_call / args.batch
+        stats["gflops_per_frame"] = round(flops_frame / 1e9, 2)
+        stats["achieved_tflops"] = round(flops_frame * device_fps / 1e12, 2)
     if args.verbose:
         print(
             f"# device={jax.devices()[0]} dtype={dtype_name} views={args.views} "
             f"vertices={with_vertices} chunk={args.chunk} "
             f"throughput={total/args.iters*1e3:.3f}ms/frame "
-            f"blocking_p50={p50_ms:.3f}ms device_fps={device_fps:.0f}",
+            f"blocking_p50={p50_ms:.3f}ms device_fps={device_fps:.0f} "
+            f"stats={stats}",
             file=sys.stderr,
         )
-    return fps, p50_ms, device_fps
+    return fps, p50_ms, device_fps, stats
 
 
-def main() -> None:
+def _parse_args(argv=None) -> argparse.Namespace:
     parser = argparse.ArgumentParser()
     parser.add_argument("--config", default="configs/release/HO3D_HandMvNet.yaml")
     parser.add_argument("--views", type=int, default=8)
@@ -207,7 +247,107 @@ def main() -> None:
     parser.add_argument("--skip-fp32", action="store_true",
                         help="headline dtype only (skip the fp32 datapoint)")
     parser.add_argument("--verbose", action="store_true")
-    args = parser.parse_args()
+    # supervision knobs (see module docstring: the relayed backend faults
+    # transiently — init UNAVAILABLE, or hangs where jax.devices() never
+    # returns — so the protocol runs in a watchdogged child with retries)
+    parser.add_argument("--attempts", type=int,
+                        default=int(os.environ.get("BENCH_ATTEMPTS", 5)),
+                        help="max protocol attempts before the structured "
+                             "failure record")
+    parser.add_argument("--probe-timeout", type=float,
+                        default=float(os.environ.get("BENCH_PROBE_TIMEOUT", 240)),
+                        help="seconds for the backend-init pre-flight probe")
+    parser.add_argument("--run-timeout", type=float,
+                        default=float(os.environ.get("BENCH_RUN_TIMEOUT", 1800)),
+                        help="seconds for one full protocol attempt")
+    parser.add_argument("--inner", action="store_true", help=argparse.SUPPRESS)
+    return parser.parse_args(argv)
+
+
+def _metric_name(args) -> str:
+    """Metric id for the output record; pure python (no jax import) so the
+    failure path can name the metric even when the backend is down."""
+    from handmvnet_tpu.config import Config
+
+    cfg = Config.from_yaml(args.config)
+    return (
+        f"handmvnet_{cfg.model.backbone}{cfg.model.backbone_type}"
+        f"_fps_b{args.batch}_v{args.views}_{args.dtype}"
+        + ("" if not args.no_vertices else "_novtx")
+    )
+
+
+def _supervise(args) -> None:
+    """Orchestrate watchdogged attempts of the inner protocol.
+
+    Per attempt: (1) a cheap backend pre-flight in its own subprocess —
+    jax.devices() + one matmul VALUE read — under --probe-timeout, so an
+    init hang or UNAVAILABLE costs seconds-to-minutes, not the whole run;
+    (2) the full protocol subprocess under --run-timeout. Any failure backs
+    off (30 -> 60 -> 120 -> 120 ... s) and retries, up to --attempts. Final
+    failure prints ONE structured JSON line (metric/error/attempts) so the
+    graded artifact is parseable either way."""
+    backoffs = [30, 60, 120]
+    errors: list[str] = []
+    for attempt in range(1, args.attempts + 1):
+        # (1) pre-flight: backend init + a scalar value read
+        try:
+            probe = subprocess.run(
+                [sys.executable, "-c", _PROBE_SRC],
+                capture_output=True, text=True, timeout=args.probe_timeout,
+            )
+            probe_ok = probe.returncode == 0 and "PROBE_OK" in probe.stdout
+            if not probe_ok:
+                tail = (probe.stderr or probe.stdout).strip().splitlines()[-1:]
+                errors.append(f"probe rc={probe.returncode}: {' '.join(tail)[:300]}")
+        except subprocess.TimeoutExpired:
+            probe_ok = False
+            errors.append(f"probe hang (> {args.probe_timeout:.0f}s)")
+
+        # (2) the full protocol, watchdogged
+        if probe_ok:
+            cmd = [sys.executable, os.path.abspath(__file__), "--inner"] + [
+                a for a in sys.argv[1:]
+            ]
+            try:
+                run = subprocess.run(
+                    cmd, stdout=subprocess.PIPE, text=True, timeout=args.run_timeout,
+                )
+                if run.returncode == 0:
+                    # forward the child's record, annotated with the attempt
+                    # count (>1 documents a flaky window in the artifact)
+                    line = run.stdout.strip().splitlines()[-1]
+                    record = json.loads(line)
+                    if attempt > 1:
+                        record["attempts"] = attempt
+                    print(json.dumps(record))
+                    return
+                errors.append(f"protocol rc={run.returncode}")
+            except subprocess.TimeoutExpired:
+                errors.append(f"protocol hang (> {args.run_timeout:.0f}s)")
+
+        if attempt < args.attempts:
+            delay = backoffs[min(attempt - 1, len(backoffs) - 1)]
+            print(f"# attempt {attempt}/{args.attempts} failed "
+                  f"({errors[-1]}); retrying in {delay}s", file=sys.stderr)
+            time.sleep(delay)
+
+    print(json.dumps({
+        "metric": _metric_name(args),
+        "value": None,
+        "unit": "frames/sec",
+        "error": errors[-1] if errors else "unknown",
+        "attempts": args.attempts,
+        "all_errors": errors[-args.attempts:],
+    }))
+    sys.exit(1)
+
+
+def main() -> None:
+    args = _parse_args()
+    if not args.inner:
+        _supervise(args)
+        return
 
     import dataclasses
 
@@ -218,25 +358,26 @@ def main() -> None:
         model=dataclasses.replace(cfg.model, selected_views=tuple(range(args.views)))
     )
 
-    fps, p50_ms, device_fps = run_protocol(cfg, args, args.dtype)
+    fps, p50_ms, device_fps, stats = run_protocol(cfg, args, args.dtype)
     record = {
-        "metric": f"handmvnet_{cfg.model.backbone}{cfg.model.backbone_type}"
-        f"_fps_b{args.batch}_v{args.views}_{args.dtype}"
-        + ("" if not args.no_vertices else "_novtx"),
+        "metric": _metric_name(args),
         "value": round(fps, 2),
         "unit": "frames/sec",
         "vs_baseline": round(fps / 48.0, 3),
         "blocking_p50_ms": round(p50_ms, 2),
         "device_fps": round(device_fps, 2),
+        **stats,
     }
     # fp32 datapoint: the parity story is fp32, so show the target is met in
     # the parity dtype too (bf16 stays the headline)
     if args.dtype == "bfloat16" and not args.skip_fp32:
-        fps32, p50_32, dev32 = run_protocol(cfg, args, "float32")
+        fps32, p50_32, dev32, stats32 = run_protocol(cfg, args, "float32")
         record["fp32_fps"] = round(fps32, 2)
         record["fp32_vs_baseline"] = round(fps32 / 48.0, 3)
         record["fp32_blocking_p50_ms"] = round(p50_32, 2)
         record["fp32_device_fps"] = round(dev32, 2)
+        if "achieved_tflops" in stats32:
+            record["fp32_achieved_tflops"] = stats32["achieved_tflops"]
 
     print(json.dumps(record))
 

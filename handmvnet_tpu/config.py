@@ -43,6 +43,12 @@ class DataConfig:
     # hosts; crops resample the same bbox region from the smaller frame
     # (documented deviation: crop detail is capped at source/denom)
     decode_scale_denom: int = 1
+    # opt-in decode-once cache: the first full pass over a split persists
+    # decoded uint8 frames + parsed labels to an mmap-able store; later
+    # epochs never touch libjpeg (data/cache.py — the lever for
+    # decode-bound hosts, LOADER_BENCH.json)
+    cache_decoded: bool = False
+    cache_dir: str = ""  # default: <dataset_dir>/decoded_cache
     pad_image: bool = True
     add_val_to_train: bool = False
     # copied over from model (reference config.py:46-49 does the same)

@@ -145,6 +145,19 @@ class MultiviewTarDataset:
 
             use_native = native_available()
         self.use_native = use_native
+        if cfg.decode_scale_denom > 1 and not use_native:
+            # the python reader's downscale needs opencv; fail fast here
+            # instead of mid-epoch inside the producer thread (the lazy
+            # import in _parse would only surface at the first sample)
+            try:
+                import cv2  # noqa: F401
+            except ImportError as e:
+                raise RuntimeError(
+                    "data.decode_scale_denom > 1 with the pure-python reader "
+                    "requires opencv (cv2) for the downscaled decode; build "
+                    "the native loader (`make -C native`) or install "
+                    "opencv-python, or set decode_scale_denom: 1"
+                ) from e
         # mirror ShardDataset's split semantics: more readers than shards ->
         # sample-ordinal split over ALL shards (never duplicate data)
         self._native_sample_split = split_count > max(len(urls), 1)
@@ -196,11 +209,76 @@ class MultiviewTarDataset:
         return sample
 
     def __iter__(self) -> Iterator[dict]:
+        if self.cfg.cache_decoded:
+            return self._iter_cached()
         if self.use_native:
             return self._iter_native()
         return iter(self.dataset)
 
-    def _iter_native(self) -> Iterator[dict]:
+    # ------------------------------------------------------ decode cache --
+    def _cache(self):
+        # identity snapshotted once per dataset instance (first use): the
+        # shard stat()s happen while the tars are guaranteed present; later
+        # epochs serve purely from the cache store
+        cached = getattr(self, "_cache_obj", None)
+        if cached is not None:
+            return cached
+        from handmvnet_tpu.data.cache import DecodedCache
+
+        def stat(u: str):
+            st = os.stat(u)
+            return [os.path.basename(u), st.st_size, int(st.st_mtime)]
+
+        urls = self._split_urls(self.split)
+        identity = {
+            "name": self.name,
+            "split": self.split,
+            "views": list(self.cfg.selected_views),
+            "denom": self.cfg.decode_scale_denom,
+            "split_slice": list(self._native_split),
+            "input_res": list(self.input_res),
+            "shards": [stat(u) for u in urls],
+        }
+        root = self.cfg.cache_dir or os.path.join(
+            self.cfg.dataset_dir, "decoded_cache"
+        )
+        self._cache_obj = DecodedCache(root, identity)
+        return self._cache_obj
+
+    def _iter_cached(self) -> Iterator[dict]:
+        """Decode-once path (cfg.cache_decoded): first call on a cold cache
+        pays ONE deterministic decode pass over this process's partition;
+        every later epoch streams mmap'd frames from the page cache with a
+        full-epoch shuffle for training (strictly stronger than the
+        streaming readers' 500-sample reservoir)."""
+        cache = self._cache()
+        if not cache.complete:
+            cache.build(self._decode_once())
+        epoch = getattr(self, "_cache_epoch", 0)
+        self._cache_epoch = epoch + 1
+        return cache.iter_samples(
+            shuffle=self.split == "train", seed=42, epoch=epoch
+        )
+
+    def _decode_once(self) -> Iterator[dict]:
+        """One deterministic decode+parse pass over this process's samples
+        (no shard shuffle, no reservoir — the cache reader owns shuffling).
+        Note: for resampled training streams the cache partition is the
+        NON-resampled one (each sample exactly once), which is what a
+        random-access store wants."""
+        if self.use_native:
+            return self._iter_native(shuffle=False)
+        return iter(ShardDataset(
+            self._split_urls(self.split),
+            preprocess=self._parse,
+            shuffle_shards=False,
+            resample=False,
+            shuffle_buffer=0,
+            split_index=self._native_split[0],
+            split_count=self._native_split[1],
+        ))
+
+    def _iter_native(self, shuffle: bool = True) -> Iterator[dict]:
         """C++ thread-pool path: tar parse + libjpeg decode in native/tario.cc
         (bit-identical pixels to the python reader; see tests), with the same
         reservoir shuffle for training."""
@@ -213,7 +291,7 @@ class MultiviewTarDataset:
         # (PYTHONHASHSEED), which silently broke run-to-run reproducibility
         # of the native shard/reservoir shuffle
         rng = np.random.default_rng(42 + zlib.crc32(self.split.encode()) % 10000)
-        if self.split == "train" and not self._native_sample_split:
+        if shuffle and self.split == "train" and not self._native_sample_split:
             # sample-split mode needs an identical shard order on every
             # process for the ordinal partition to be exact
             rng.shuffle(urls)
@@ -234,7 +312,7 @@ class MultiviewTarDataset:
         )
         try:
             buffer: list[dict] = []
-            buf_size = 500 if self.split == "train" else 0
+            buf_size = 500 if (shuffle and self.split == "train") else 0
             for _key, imgs, labels in loader:
                 if self._native_sample_split:
                     # the C++ pool emits samples in thread-completion order,
@@ -272,6 +350,16 @@ class MultiviewTarDataset:
                 yield buffer.pop()
         finally:
             loader.close()
+            n_dropped = loader.dropped_samples()
+            if n_dropped:
+                import sys
+
+                print(
+                    f"[tario] {self.name}/{self.split}: {n_dropped} samples "
+                    "dropped (incomplete groups, malformed JPEGs, or frames "
+                    f"not exactly {self.input_res} at the source)",
+                    file=sys.stderr,
+                )
 
 
 class HO3DDataset(MultiviewTarDataset):

@@ -69,6 +69,10 @@ class BatchLoader:
         self.device_prefetch = device_prefetch
         self._iter: Iterator[dict] | None = None
         self._failed = False
+        # single-consumer guard: two concurrently-driven epoch iterators
+        # would race on the shared self._iter generator ("generator already
+        # executing"); released in the inner generator's finally
+        self._iterating = threading.Lock()
 
     def _sample_stream(self) -> Iterator[dict]:
         while True:  # resample forever; epoch length is steps_per_epoch
@@ -83,22 +87,50 @@ class BatchLoader:
                 )
 
     def __iter__(self) -> Iterator[dict]:
-        # a pipeline failure leaves the producer's position in self._iter
-        # undefined; a second thread resuming the same generator would die
-        # with "generator already executing" — refuse instead
+        # NON-generator __iter__: the dead-loader check and the
+        # single-consumer guard must run at iter() time, not be deferred to
+        # the first next() like a generator function's body would be
+        # (creating an iterator on a dead loader would otherwise appear to
+        # succeed)
         if self._failed:
             raise RuntimeError(
                 "BatchLoader is dead after a previous pipeline error — "
                 "create a fresh BatchLoader"
             )
-        if self._iter is None:
-            self._iter = self._sample_stream()
-        q: queue.Queue = queue.Queue(maxsize=self.prefetch)
-        stop = object()
-        # set when the consumer stops early (exception surfaced or the epoch
-        # generator closed mid-stream); producer/preparer poll it so they
-        # never stay blocked on a full queue holding self._iter
-        cancelled = threading.Event()
+        if not self._iterating.acquire(blocking=False):
+            raise RuntimeError(
+                "BatchLoader is single-consumer: a previous epoch iterator "
+                "is still active (exhaust or close() it first)"
+            )
+        try:
+            if self._iter is None:
+                self._iter = self._sample_stream()
+            return _EpochIterator(self)
+        except BaseException:
+            self._iterating.release()
+            raise
+
+    def __len__(self) -> int:
+        return self.steps_per_epoch
+
+
+class _EpochIterator:
+    """One epoch over a BatchLoader: owns the producer/preparer threads.
+
+    A real class (not a generator) so the pipeline starts at iter() time and
+    cleanup — thread wind-down + releasing the loader's single-consumer
+    lock — is deterministic via close()/__del__ even if the iterator is
+    abandoned before the first next()."""
+
+    def __init__(self, loader: "BatchLoader"):
+        self.loader = loader
+        self._closed = False
+        q: queue.Queue = queue.Queue(maxsize=loader.prefetch)
+        self._stop = stop = object()
+        # set when the consumer stops early (exception surfaced or close()
+        # mid-stream); producer/preparer poll it so they never stay blocked
+        # on a full queue holding loader._iter
+        self._cancelled = cancelled = threading.Event()
 
         def cancellable_put(dst: queue.Queue, item) -> bool:
             while not cancelled.is_set():
@@ -111,10 +143,12 @@ class BatchLoader:
 
         def producer():
             try:
-                for _ in range(self.steps_per_epoch):
+                for _ in range(loader.steps_per_epoch):
                     if cancelled.is_set():
                         return
-                    samples = [next(self._iter) for _ in range(self.batch_size)]
+                    samples = [
+                        next(loader._iter) for _ in range(loader.batch_size)
+                    ]
                     if not cancellable_put(q, collate(samples)):
                         return
             except StopIteration:
@@ -129,18 +163,18 @@ class BatchLoader:
 
         producer_thread = threading.Thread(target=producer, daemon=True)
         producer_thread.start()
-        threads = [producer_thread]
-        queues = [q]
+        self._threads = [producer_thread]
+        self._queues = [q]
 
         out_q = q
-        inline_prepare = self.device_prepare
-        if self.device_prepare is not None and self.device_prefetch:
+        self._inline_prepare = loader.device_prepare
+        if loader.device_prepare is not None and loader.device_prefetch:
             # second pipeline stage (double buffering): the H2D upload + the
             # jitted on-device preprocess for batch N+1 are dispatched while
             # the caller's step for batch N runs — the consumer thread never
             # pays the (transport-bound) dispatch latency on its own clock
-            inline_prepare = None
-            out_q = queue.Queue(maxsize=self.prefetch)
+            self._inline_prepare = None
+            out_q = queue.Queue(maxsize=loader.prefetch)
             src = q
 
             def preparer():
@@ -155,7 +189,9 @@ class BatchLoader:
                             if item is stop:
                                 return
                             continue
-                        if not cancellable_put(out_q, self.device_prepare(item)):
+                        if not cancellable_put(
+                            out_q, loader.device_prepare(item)
+                        ):
                             return
                 except BaseException as e:  # pragma: no cover - re-raised below
                     cancellable_put(out_q, e)
@@ -163,35 +199,56 @@ class BatchLoader:
 
             preparer_thread = threading.Thread(target=preparer, daemon=True)
             preparer_thread.start()
-            threads.append(preparer_thread)
-            queues.append(out_q)
+            self._threads.append(preparer_thread)
+            self._queues.append(out_q)
+        self._out_q = out_q
 
+    def __iter__(self) -> Iterator[dict]:
+        return self
+
+    def __next__(self) -> dict:
+        if self._closed:
+            raise StopIteration
         try:
-            while True:
-                item = out_q.get()
-                if item is stop:
-                    break
-                if isinstance(item, BaseException):
-                    self._failed = True
-                    raise item
-                if inline_prepare is not None:
-                    item = inline_prepare(item)
-                yield item
-        finally:
-            # normal completion, error, or early generator close: wind the
-            # stage threads down and wait until self._iter is released so a
-            # later __iter__ never races a still-running producer
-            cancelled.set()
-            for qq in queues:
-                try:
-                    while True:
-                        qq.get_nowait()
-                except queue.Empty:
-                    pass
-            for t in threads:
-                t.join(timeout=30.0)
-                if t.is_alive():  # wedged in the dataset itself; stay dead
-                    self._failed = True
+            item = self._out_q.get()
+            if item is self._stop:
+                self.close()
+                raise StopIteration
+            if isinstance(item, BaseException):
+                self.loader._failed = True
+                self.close()
+                raise item
+            if self._inline_prepare is not None:
+                item = self._inline_prepare(item)
+            return item
+        except StopIteration:
+            raise
+        except BaseException:
+            self.close()
+            raise
 
-    def __len__(self) -> int:
-        return self.steps_per_epoch
+    def close(self) -> None:
+        """Wind the stage threads down and wait until loader._iter is
+        released so a later __iter__ never races a still-running producer;
+        then release the loader's single-consumer lock. Idempotent."""
+        if self._closed:
+            return
+        self._closed = True
+        self._cancelled.set()
+        for qq in self._queues:
+            try:
+                while True:
+                    qq.get_nowait()
+            except queue.Empty:
+                pass
+        for t in self._threads:
+            t.join(timeout=30.0)
+            if t.is_alive():  # wedged in the dataset itself; stay dead
+                self.loader._failed = True
+        self.loader._iterating.release()
+
+    def __del__(self):  # pragma: no cover - GC safety net
+        try:
+            self.close()
+        except Exception:
+            pass

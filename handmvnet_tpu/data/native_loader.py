@@ -47,6 +47,8 @@ def _load_lib():
             ctypes.c_int,
         ]
         lib.tario_destroy.argtypes = [ctypes.c_void_p]
+        lib.tario_dropped.restype = ctypes.c_long
+        lib.tario_dropped.argtypes = [ctypes.c_void_p]
         _lib = lib
     return _lib
 
@@ -111,8 +113,18 @@ class NativeShardLoader:
             labels = pickle.loads(bytes(label_buf[:n]))
             yield key_buf.value.decode(), img_buf.copy(), labels
 
+    def dropped_samples(self) -> int:
+        """Samples the C++ pool silently skipped so far: incomplete
+        view/label groups, malformed JPEGs, or frames whose decoded dims
+        differ from the expected (ceil(image_hw/scale_denom)) shape — all
+        frames are assumed to be exactly image_hw at the source."""
+        if self._closed:
+            return self._dropped_at_close
+        return int(self.lib.tario_dropped(self.handle))
+
     def close(self) -> None:
         if not self._closed:
+            self._dropped_at_close = int(self.lib.tario_dropped(self.handle))
             self.lib.tario_destroy(self.handle)
             self._closed = True
 

@@ -112,7 +112,14 @@ class TorchBatchNorm(nn.BatchNorm):
                 n = 1
                 for ax in reduction_axes:
                     n *= x.shape[ax]
-                bessel = n / max(n - 1, 1)  # torch stores unbiased variance
+                if self.axis_name is not None:
+                    # _compute_stats pmeans mean/var over the named axis, so
+                    # the effective sample count is the GLOBAL one — a local n
+                    # would overshoot the Bessel correction by ~axis_size/n
+                    n *= jax.lax.psum(1, self.axis_name)
+                    bessel = n / jnp.maximum(n - 1, 1)
+                else:
+                    bessel = n / max(n - 1, 1)  # torch stores unbiased variance
                 ra_mean.value = (
                     self.momentum * ra_mean.value + (1 - self.momentum) * mean
                 )

@@ -111,7 +111,13 @@ def symeig3x3(a: jax.Array, polish_sweeps: int = 2):
     alt = jnp.where(jnp.abs(v0[..., 0:1]) < 0.9, axis_x, axis_y)
     alt = alt - jnp.sum(alt * v0, axis=-1, keepdims=True) * v0
     alt = alt / jnp.maximum(jnp.linalg.norm(alt, axis=-1, keepdims=True), 1e-30)
-    v2 = jnp.where(n2 > 1e-3, v2 / jnp.maximum(n2, 1e-30), alt)
+    # sanitize the denominator BEFORE dividing: with jnp.maximum(n2, 1e-30)
+    # the unselected branch still computes v2/n2 whose VJP is ~1/n2^2 — inf
+    # in f32 when n2 underflows, and inf*0 through the where poisons
+    # gradients if this is ever differentiated (e.g. a procrustes loss)
+    degenerate = n2 <= 1e-3
+    safe_n2 = jnp.where(degenerate, 1.0, n2)
+    v2 = jnp.where(degenerate, alt, v2 / safe_n2)
     v1 = jnp.cross(v2, v0)
     v = jnp.stack([v0, v1, v2], axis=-1)
     if polish_sweeps:

@@ -36,6 +36,7 @@ from handmvnet_tpu.models import HandMvNet
 from handmvnet_tpu.parallel import (
     create_train_state,
     make_eval_step,
+    make_lr_schedule,
     make_mesh,
     make_optimizer,
     make_train_step,
@@ -143,6 +144,11 @@ def make_vis_hook(cfg: Config, eval_step, out_dir: Path):
         out = eval_step(state, batch)
         with_proj = cfg.train.loss_weights.g2d is not None and "extrinsic" in batch
         if with_proj:
+            # deliberately BEFORE the process-0 guard: project_crop is a jit
+            # over globally-sharded arrays (eval_step outputs + the global
+            # batch), so in multi-process SPMD every process must execute it
+            # — skipping it on ranks != 0 would desync the collective
+            # programs. Only the png write below is process-0-only.
             proj = project_crop(
                 out["joints_cam"],
                 jnp.asarray(batch["root_joint"]) / 1000.0,
@@ -397,10 +403,22 @@ def main(argv=None) -> None:
                 )
             vis_hook(state, shard(next(iter(vis_val_loader))), epoch, "val")
         if logger is not None:
+            # per-epoch LR (reference train.py:36 LearningRateMonitor);
+            # computed on the CPU backend from a host-side step count — the
+            # schedule is a jnp program, and an eager TPU dispatch or a
+            # state.step D2H read here would poison the relayed transport
+            # (CLAUDE.md D2H rule)
+            with jax.default_device(jax.devices("cpu")[0]):
+                lr = float(
+                    make_lr_schedule(cfg, steps_per_epoch)(
+                        (epoch + 1) * steps_per_epoch
+                    )
+                )
             logger.log(
                 {
                     "epoch": epoch,
                     "time_s": round(time.time() - t0, 1),
+                    "lr": lr,
                     **{f"train/{k}": v for k, v in train_metrics.items()},
                     **{k: v for k, v in val_metrics.items() if "pck" not in k},
                 }

@@ -191,6 +191,9 @@ class Loader {
     for (auto& t : workers_) t.join();
   }
 
+  // Samples dropped so far (incomplete groups / failed decodes).
+  long dropped() const { return dropped_.load(std::memory_order_relaxed); }
+
   // Blocks until a sample is ready (or the stream ends).
   std::unique_ptr<Sample> next() {
     std::unique_lock<std::mutex> lock(mu_);
@@ -243,7 +246,13 @@ class Loader {
         sample = std::make_unique<Sample>();
         sample->images.resize(num_views_);
       } else if (!current_key.empty()) {
-        // drop incomplete sample groups, like the python reader would error
+        // drop incomplete sample groups (missing views/label, malformed
+        // JPEG, or frame dims != the expected height_ x width_ — note that
+        // with scale_denom the expectation is ceil(SOURCE_hw/denom), so any
+        // shard frame whose real size differs from the configured source
+        // resolution lands here too). Counted so silent drops are
+        // observable from Python (tario_dropped).
+        dropped_.fetch_add(1, std::memory_order_relaxed);
         sample = std::make_unique<Sample>();
         sample->images.resize(num_views_);
       }
@@ -317,6 +326,7 @@ class Loader {
   size_t next_shard_ = 0;
   int active_workers_ = 0;
   bool stop_ = false;
+  std::atomic<long> dropped_{0};
 };
 
 }  // namespace
@@ -355,6 +365,12 @@ int tario_next(void* handle, uint8_t* img_out, uint8_t* label_out,
   memcpy(label_out, sample->label.data(), sample->label.size());
   snprintf(key_out, key_cap, "%s", sample->key.c_str());
   return static_cast<int>(sample->label.size());
+}
+
+// Samples silently dropped so far (incomplete view/label groups, malformed
+// JPEGs, or frames whose decoded dims differ from the expected height/width).
+long tario_dropped(void* handle) {
+  return static_cast<Loader*>(handle)->dropped();
 }
 
 void tario_destroy(void* handle) { delete static_cast<Loader*>(handle); }

@@ -38,6 +38,11 @@ BACKBONES = {
     "resnet50_paper": "configs/release/HO3D_HandMvNet.yaml",
     "hrnet_w40": "configs/release/HO3D_HandMvNet_HR.yaml",
 }
+# v5e bf16 matmul peak (public spec: 197 TFLOP/s bf16 per chip). MFU here is
+# achieved-FLOPs/peak with XLA's own FLOP count as numerator; fp32 rows use
+# the same denominator (the chip has no faster fp32 path), so their MFU
+# reads lower by design.
+PEAK_TFLOPS_BF16 = 197.0
 DTYPES = ("bfloat16", "float32")
 VIEWS = (4, 5, 8)
 BATCHES = (1, 8)
@@ -99,13 +104,21 @@ def train_throughput(iters: int = 30) -> dict:
         state, losses = step(state, dbatch, rng)
     _ = float(losses["loss"])
     dt = time.perf_counter() - t0
-    return {
+    out = {
         "samples_per_sec": round(batch_size * iters / dt, 2),
         "step_ms": round(dt / iters * 1e3, 2),
         "batch": batch_size,
         "views": 5,
         "dtype": "bfloat16",
     }
+    from bench import compiled_flops
+
+    flops = compiled_flops(step.lower(state, dbatch, rng).compile())
+    if flops:
+        out["gflops_per_step"] = round(flops / 1e9, 1)
+        out["achieved_tflops"] = round(flops / 1e12 / (dt / iters), 2)
+        out["mfu_vs_bf16_peak"] = round(out["achieved_tflops"] / PEAK_TFLOPS_BF16, 4)
+    return out
 
 
 def main() -> None:
@@ -165,12 +178,20 @@ def main() -> None:
                         "dtype": "bf16" if dt == "bfloat16" else "fp32",
                     }
                     try:
-                        fps, p50, device_fps = run_protocol(bcfg, a, dt)
+                        fps, p50, device_fps, stats = run_protocol(bcfg, a, dt)
                         row.update(
                             fps=round(fps, 1),
                             blocking_p50_ms=round(p50, 2),
                             device_fps=round(device_fps, 1),
+                            # XLA-cost-analysis FLOPs -> achieved TFLOP/s and
+                            # MFU (vs v5e bf16 peak; fp32 rows share the
+                            # denominator, documented in the protocol note)
+                            **stats,
                         )
+                        if "achieved_tflops" in stats:
+                            row["mfu_vs_bf16_peak"] = round(
+                                stats["achieved_tflops"] / PEAK_TFLOPS_BF16, 4
+                            )
                     except Exception as e:  # noqa: BLE001 - record, don't lose
                         # the rows already measured (a dead backend will fail
                         # every later row fast; rerun with --skip to resume)

@@ -100,7 +100,7 @@ def e2e_bench(views: int, iters: int) -> None:
 
             pa.fused_attention = patched
             for dt in ("bfloat16", "float32"):
-                fps, p50, dev_fps = run_protocol(cfg, args, dt)
+                fps, p50, dev_fps, _stats = run_protocol(cfg, args, dt)
                 # device_fps is the discriminator: the per-call figure is
                 # dominated by relay turnaround noise (see bench.py docstring)
                 print(

@@ -141,15 +141,44 @@ def main() -> None:
         batch_sps = n_b * args.batch / min(t_batches)
         result["collated_samples_per_sec"] = round(batch_sps, 2)
 
+        # decode-once cache (data.cache_decoded): pass 1 builds the mmap
+        # store; steady-state epochs never touch libjpeg. Measured through
+        # the same BatchLoader stage so the numbers are comparable.
+        cached_cfg = DataConfig(
+            name="ho3d", batch_size=args.batch, dataset_dir=tmp,
+            num_workers=0, augment=False, add_val_to_train=False,
+            selected_views=tuple(range(args.views)),
+            decode_scale_denom=args.scale_denom,
+            cache_decoded=True, cache_dir=os.path.join(tmp, "decoded_cache"),
+        )
+        cds = BenchHO3D(cached_cfg, "test")
+        t0 = time.perf_counter()
+        n_built = sum(1 for _ in cds)  # build pass (decode once)
+        result["cache_build_seconds"] = round(time.perf_counter() - t0, 3)
+        assert n_built == n_samples, (n_built, n_samples)
+        cbl = BatchLoader(cds, batch_size=args.batch, steps_per_epoch=steps,
+                          device_prepare=None)
+        t_cached = []
+        for _ in range(args.passes):
+            t0 = time.perf_counter()
+            n_b = sum(1 for _ in cbl)
+            t_cached.append(time.perf_counter() - t0)
+        cached_sps = n_b * args.batch / min(t_cached)
+        result["cached_collated_samples_per_sec"] = round(cached_sps, 2)
+
     # the verdict: what fraction of the step budget does input prep cover?
     step_sps = args.batch / (args.step_ms / 1e3)
     result["train_step_samples_per_sec"] = round(step_sps, 2)
     result["input_bound_ratio"] = round(step_sps / batch_sps, 3)
     result["feeds_the_step"] = bool(batch_sps >= step_sps)
+    result["cached_input_bound_ratio"] = round(step_sps / cached_sps, 3)
+    result["cached_feeds_the_step"] = bool(cached_sps >= step_sps)
     result["note"] = (
         "ratio > 1 means the loader starves the accelerator by that factor "
         "on THIS host; the decode stage parallelizes with cores "
-        f"(this box: {os.cpu_count()})"
+        f"(this box: {os.cpu_count()}); 'cached_*' rows are the decode-once "
+        "cache steady state (data.cache_decoded), where epochs stream the "
+        "mmap store and never decode"
     )
 
     out = Path(args.out)

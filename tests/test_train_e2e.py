@@ -78,6 +78,9 @@ def test_train_driver_end_to_end(tmp_path, monkeypatch):
     assert len(records) == 1
     assert "train/loss" in records[0]
     assert "val_mpjpe" in records[0]
+    # per-epoch LR logging (reference train.py:36 LearningRateMonitor);
+    # epoch 0 is before any milestone, so lr == the configured base lr
+    assert records[0]["lr"] == pytest.approx(1e-4)
 
     val = json.loads((out / "val.json").read_text())
     assert "val_mpjpe" in val[0] and val[0]["val_mpjpe"] > 0
