@@ -121,6 +121,60 @@ def train_throughput(iters: int = 30) -> dict:
     return out
 
 
+def run_row(spec: str, iters: int) -> None:
+    """Child mode (--row backbone:views:batch:dtype): one protocol row,
+    printed as a single JSON line on stdout. Run under --isolate so a
+    TPU-worker crash at one shape (round 3: hrnet v5/b8, 3/3 reproductions)
+    costs that row, not the rest of the matrix."""
+    import jax
+
+    jax.config.update("jax_compilation_cache_dir", "/tmp/jax_cache_handmvnet")
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 2.0)
+
+    from bench import run_protocol
+    from handmvnet_tpu.config import Config
+
+    backbone, v, b, dt = spec.split(":")
+    v, b = int(v), int(b)
+    cfg = Config.from_yaml(REPO / BACKBONES[backbone])
+    bcfg = cfg.replace(
+        model=dataclasses.replace(cfg.model, selected_views=tuple(range(v)))
+    )
+    a = bench_args(b, v, iters, chunk=min(100, iters))
+    dtype = "bfloat16" if dt == "bf16" else "float32"
+    fps, p50, device_fps, stats = run_protocol(bcfg, a, dtype)
+    row = dict(
+        fps=round(fps, 1),
+        blocking_p50_ms=round(p50, 2),
+        device_fps=round(device_fps, 1),
+        **stats,
+    )
+    if "achieved_tflops" in stats:
+        row["mfu_vs_bf16_peak"] = round(
+            stats["achieved_tflops"] / PEAK_TFLOPS_BF16, 4
+        )
+    print(json.dumps(row))
+
+
+def _device_string(args) -> str:
+    if not args.isolate:
+        import jax
+
+        return str(jax.devices()[0])
+    import subprocess
+
+    try:
+        proc = subprocess.run(
+            [sys.executable, "-c", "import jax; print(jax.devices()[0])"],
+            capture_output=True, text=True, timeout=180,
+        )
+        if proc.returncode == 0:
+            return proc.stdout.strip().splitlines()[-1]
+        return "unavailable (device probe failed)"
+    except subprocess.TimeoutExpired:
+        return "unavailable (device probe hang)"
+
+
 def main() -> None:
     parser = argparse.ArgumentParser()
     parser.add_argument("--quick", action="store_true",
@@ -135,7 +189,27 @@ def main() -> None:
     parser.add_argument("--stop-after", type=int, default=0,
                         help="stop after combo N (0 = run all): re-measure "
                              "a crashed row range in isolation")
+    parser.add_argument("--isolate", action="store_true",
+                        help="run every row in its own subprocess with a "
+                             "timeout: a worker crash/hang at one shape is "
+                             "recorded as that row's error and the matrix "
+                             "continues (recommended on the relayed TPU)")
+    parser.add_argument("--row-timeout", type=float, default=1200.0)
+    parser.add_argument("--row", default="",
+                        help="internal: run ONE row (backbone:views:batch:"
+                             "dtype) and print its JSON")
     args = parser.parse_args()
+
+    if args.row:
+        if args.row == "train":
+            import jax
+
+            jax.config.update("jax_compilation_cache_dir", "/tmp/jax_cache_handmvnet")
+            jax.config.update("jax_persistent_cache_min_compile_time_secs", 2.0)
+            print(json.dumps(train_throughput(10 if args.quick else 30)))
+        else:
+            run_row(args.row, args.iters)
+        return
 
     import jax
 
@@ -144,8 +218,10 @@ def main() -> None:
     jax.config.update("jax_compilation_cache_dir", "/tmp/jax_cache_handmvnet")
     jax.config.update("jax_persistent_cache_min_compile_time_secs", 2.0)
 
-    from bench import run_protocol
     from handmvnet_tpu.config import Config
+
+    if not args.isolate:
+        from bench import run_protocol
 
     dtypes = DTYPES[:1] if args.quick else DTYPES
     views = (8,) if args.quick else VIEWS
@@ -169,7 +245,6 @@ def main() -> None:
                         continue
                     if args.stop_after and combo_idx > args.stop_after:
                         continue
-                    a = bench_args(b, v, iters, chunk=min(100, iters))
                     t0 = time.time()
                     row = {
                         "backbone": backbone,
@@ -177,25 +252,48 @@ def main() -> None:
                         "batch": b,
                         "dtype": "bf16" if dt == "bfloat16" else "fp32",
                     }
-                    try:
-                        fps, p50, device_fps, stats = run_protocol(bcfg, a, dt)
-                        row.update(
-                            fps=round(fps, 1),
-                            blocking_p50_ms=round(p50, 2),
-                            device_fps=round(device_fps, 1),
-                            # XLA-cost-analysis FLOPs -> achieved TFLOP/s and
-                            # MFU (vs v5e bf16 peak; fp32 rows share the
-                            # denominator, documented in the protocol note)
-                            **stats,
-                        )
-                        if "achieved_tflops" in stats:
-                            row["mfu_vs_bf16_peak"] = round(
-                                stats["achieved_tflops"] / PEAK_TFLOPS_BF16, 4
+                    if args.isolate:
+                        import subprocess
+
+                        spec = f"{backbone}:{v}:{b}:{row['dtype']}"
+                        try:
+                            proc = subprocess.run(
+                                [sys.executable, str(Path(__file__).resolve()),
+                                 "--row", spec, "--iters", str(iters)],
+                                capture_output=True, text=True,
+                                timeout=args.row_timeout,
                             )
-                    except Exception as e:  # noqa: BLE001 - record, don't lose
-                        # the rows already measured (a dead backend will fail
-                        # every later row fast; rerun with --skip to resume)
-                        row["error"] = f"{type(e).__name__}: {e}"[:300]
+                            if proc.returncode == 0:
+                                row.update(json.loads(
+                                    proc.stdout.strip().splitlines()[-1]
+                                ))
+                            else:
+                                row["error"] = (
+                                    f"rc={proc.returncode}: "
+                                    + (proc.stderr or proc.stdout).strip()[-250:]
+                                )
+                        except subprocess.TimeoutExpired:
+                            row["error"] = f"hang > {args.row_timeout:.0f}s"
+                    else:
+                        try:
+                            fps, p50, device_fps, stats = run_protocol(bcfg, a := bench_args(b, v, iters, chunk=min(100, iters)), dt)
+                            row.update(
+                                fps=round(fps, 1),
+                                blocking_p50_ms=round(p50, 2),
+                                device_fps=round(device_fps, 1),
+                                # XLA-cost-analysis FLOPs -> achieved TFLOP/s
+                                # and MFU (vs v5e bf16 peak; fp32 rows share
+                                # the denominator, see PEAK_TFLOPS_BF16 note)
+                                **stats,
+                            )
+                            if "achieved_tflops" in stats:
+                                row["mfu_vs_bf16_peak"] = round(
+                                    stats["achieved_tflops"] / PEAK_TFLOPS_BF16, 4
+                                )
+                        except Exception as e:  # noqa: BLE001 - record, don't
+                            # lose the rows already measured (a dead backend
+                            # fails every later row fast; --skip to resume)
+                            row["error"] = f"{type(e).__name__}: {e}"[:300]
                     row["wall_s"] = round(time.time() - t0, 1)
                     rows.append(row)
                     print(json.dumps(row), file=sys.stderr)
@@ -209,7 +307,10 @@ def main() -> None:
             "50 (batch 1) / 10 (batch 8) frames/dispatch via lax.scan "
             "(relay-RPC amortized; batch 8 capped to fit HBM)"
         ),
-        "device": str(jax.devices()[0]),
+        # in --isolate mode the parent never touches the backend itself: a
+        # hung backend must not stall the artifact write after the rows ran
+        # (children report their own failures); probe it in a bounded child
+        "device": _device_string(args),
         "baseline_fps": 48.0,
         "quick": bool(args.quick),
         "rows": rows,
@@ -220,7 +321,26 @@ def main() -> None:
     Path(args.out).write_text(json.dumps(artifact, indent=2) + "\n")
     if not args.skip_train:
         try:
-            artifact["train"] = train_throughput(10 if args.quick else 30)
+            if args.isolate:
+                import subprocess
+
+                cmd = [sys.executable, str(Path(__file__).resolve()),
+                       "--row", "train"]
+                if args.quick:
+                    cmd.append("--quick")
+                proc = subprocess.run(cmd, capture_output=True, text=True,
+                                      timeout=args.row_timeout)
+                if proc.returncode == 0:
+                    artifact["train"] = json.loads(
+                        proc.stdout.strip().splitlines()[-1]
+                    )
+                else:
+                    artifact["train"] = {"error": (
+                        f"rc={proc.returncode}: "
+                        + (proc.stderr or proc.stdout).strip()[-250:]
+                    )}
+            else:
+                artifact["train"] = train_throughput(10 if args.quick else 30)
         except Exception as e:  # noqa: BLE001
             artifact["train"] = {"error": f"{type(e).__name__}: {e}"[:300]}
         print(json.dumps(artifact["train"]), file=sys.stderr)
