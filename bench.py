@@ -315,14 +315,21 @@ def _supervise(args) -> None:
                 )
                 if run.returncode == 0:
                     # forward the child's record, annotated with the attempt
-                    # count (>1 documents a flaky window in the artifact)
-                    line = run.stdout.strip().splitlines()[-1]
-                    record = json.loads(line)
-                    if attempt > 1:
-                        record["attempts"] = attempt
-                    print(json.dumps(record))
-                    return
-                errors.append(f"protocol rc={run.returncode}")
+                    # count (>1 documents a flaky window in the artifact).
+                    # A malformed/empty rc=0 stdout counts as a failed
+                    # attempt — the supervisor itself must never traceback
+                    try:
+                        line = run.stdout.strip().splitlines()[-1]
+                        record = json.loads(line)
+                    except (IndexError, ValueError) as e:
+                        errors.append(f"unparseable child stdout: {e}")
+                    else:
+                        if attempt > 1:
+                            record["attempts"] = attempt
+                        print(json.dumps(record))
+                        return
+                else:
+                    errors.append(f"protocol rc={run.returncode}")
             except subprocess.TimeoutExpired:
                 errors.append(f"protocol hang (> {args.run_timeout:.0f}s)")
 

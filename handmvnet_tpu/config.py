@@ -39,9 +39,10 @@ class DataConfig:
     num_workers: int = 6
     augment: bool = True
     # opt-in decode-side downscale (1 = off): libjpeg DCT-domain scaling in
-    # the native loader (~3x cheaper decode per halving) for decode-bound
-    # hosts; crops resample the same bbox region from the smaller frame
-    # (documented deviation: crop detail is capped at source/denom)
+    # the native loader (fewer IDCTs + fewer pixels; measured gain is
+    # JPEG-content dependent — LOADER_BENCH.json records both denoms) for
+    # decode-bound hosts; crops resample the same bbox region from the
+    # smaller frame (documented deviation: crop detail capped at source/denom)
     decode_scale_denom: int = 1
     # opt-in decode-once cache: the first full pass over a split persists
     # decoded uint8 frames + parsed labels to an mmap-able store; later

@@ -238,6 +238,15 @@ class MultiviewTarDataset:
             "split_slice": list(self._native_split),
             "input_res": list(self.input_res),
             "shards": [stat(u) for u in urls],
+            # at denom 1 the native and python readers are bit-identical
+            # (tested) and may share a cache; at denom > 1 libjpeg's DCT
+            # downscale and cv2 INTER_AREA differ, so a reader flip (e.g.
+            # libtario.so disappearing) must invalidate rather than serve
+            # the other reader's pixels
+            "reader": (
+                "any" if self.cfg.decode_scale_denom == 1
+                else ("native" if self.use_native else "python")
+            ),
         }
         root = self.cfg.cache_dir or os.path.join(
             self.cfg.dataset_dir, "decoded_cache"

@@ -70,7 +70,11 @@ def main(argv=None) -> None:
 
     # delegate the timed loop to bench.py for a single source of truth
     # (--config must be forwarded or an HRNet run would silently time the
-    # default ResNet model)
+    # default ResNet model). --inner: run the protocol IN this process —
+    # this driver already initialized the backend and holds device arrays,
+    # so bench's supervised mode (fresh subprocesses re-initializing the
+    # tunneled backend) would contend with it; the watchdog belongs to the
+    # unattended graded artifact, not this interactive report
     sys.argv = [
         "bench.py",
         "--config", args.config,
@@ -78,6 +82,7 @@ def main(argv=None) -> None:
         "--iters", str(args.iters),
         "--warmup", str(args.warmup),
         "--verbose",
+        "--inner",
     ]
     from bench import main as bench_main
 

@@ -114,10 +114,16 @@ class TorchBatchNorm(nn.BatchNorm):
                     n *= x.shape[ax]
                 if self.axis_name is not None:
                     # _compute_stats pmeans mean/var over the named axis, so
-                    # the effective sample count is the GLOBAL one — a local n
-                    # would overshoot the Bessel correction by ~axis_size/n
-                    n *= jax.lax.psum(1, self.axis_name)
-                    bessel = n / jnp.maximum(n - 1, 1)
+                    # the effective sample count is the cross-replica one —
+                    # a local n would overshoot the Bessel correction by
+                    # ~group_size/n. With axis_index_groups the averaging
+                    # spans only the group, not the whole axis.
+                    if self.axis_index_groups is not None:
+                        n *= len(self.axis_index_groups[0])
+                        bessel = n / max(n - 1, 1)
+                    else:
+                        n *= jax.lax.psum(1, self.axis_name)
+                        bessel = n / jnp.maximum(n - 1, 1)
                 else:
                     bessel = n / max(n - 1, 1)  # torch stores unbiased variance
                 ra_mean.value = (

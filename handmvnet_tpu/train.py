@@ -276,13 +276,25 @@ def main(argv=None) -> None:
 
     train_loader, val_loader, test_loader = build_dataloaders(cfg, mesh)
     steps_per_epoch = len(train_loader)
-    tx = make_optimizer(cfg, steps_per_epoch=steps_per_epoch)
+    # the optimizer's milestone boundaries are sized from the full epoch; a
+    # --steps-per-epoch override (smoke runs) shortens the LOOP only, so LR
+    # logging below must map actual step counts through THESE boundaries
+    sched_steps = steps_per_epoch
+    tx = make_optimizer(cfg, steps_per_epoch=sched_steps)
     if args.steps_per_epoch:
         steps_per_epoch = args.steps_per_epoch
         train_loader.steps_per_epoch = steps_per_epoch
 
     first = next(iter(BatchLoader(
-        DATASETS[cfg.data.name](cfg.data, "train"), cfg.data.batch_size, 1,
+        # shape probe: one batch through the same per-process partition as
+        # build_dataloaders — with cache_decoded on, an unsplit (0/1) probe
+        # here would build a second full-split cache (and in multihost, N
+        # processes would build into the SAME directory concurrently)
+        DATASETS[cfg.data.name](
+            cfg.data, "train", split_index=jax.process_index(),
+            split_count=jax.process_count(),
+        ),
+        cfg.data.batch_size, 1,
         device_prepare=make_device_prepare(cfg, False),
     )))
     state = create_train_state(model, cfg, rng, first, tx=tx)
@@ -403,16 +415,19 @@ def main(argv=None) -> None:
                 )
             vis_hook(state, shard(next(iter(vis_val_loader))), epoch, "val")
         if logger is not None:
-            # per-epoch LR (reference train.py:36 LearningRateMonitor);
-            # computed on the CPU backend from a host-side step count — the
+            # per-epoch LR (reference train.py:36 LearningRateMonitor): the
+            # value the optimizer USED this epoch — evaluated at the epoch's
+            # FIRST step count (optax decays AT the boundary, so
+            # (epoch+1)*spe would report a milestone epoch's decay one epoch
+            # early), against the same boundaries tx was built with
+            # (sched_steps; the loop's steps_per_epoch may be overridden).
+            # Computed on the CPU backend from a host-side step count — the
             # schedule is a jnp program, and an eager TPU dispatch or a
             # state.step D2H read here would poison the relayed transport
             # (CLAUDE.md D2H rule)
             with jax.default_device(jax.devices("cpu")[0]):
                 lr = float(
-                    make_lr_schedule(cfg, steps_per_epoch)(
-                        (epoch + 1) * steps_per_epoch
-                    )
+                    make_lr_schedule(cfg, sched_steps)(epoch * steps_per_epoch)
                 )
             logger.log(
                 {

@@ -264,9 +264,12 @@ def main() -> None:
                                 timeout=args.row_timeout,
                             )
                             if proc.returncode == 0:
-                                row.update(json.loads(
-                                    proc.stdout.strip().splitlines()[-1]
-                                ))
+                                try:
+                                    row.update(json.loads(
+                                        proc.stdout.strip().splitlines()[-1]
+                                    ))
+                                except (IndexError, ValueError) as e:
+                                    row["error"] = f"unparseable child stdout: {e}"
                             else:
                                 row["error"] = (
                                     f"rc={proc.returncode}: "
@@ -331,9 +334,14 @@ def main() -> None:
                 proc = subprocess.run(cmd, capture_output=True, text=True,
                                       timeout=args.row_timeout)
                 if proc.returncode == 0:
-                    artifact["train"] = json.loads(
-                        proc.stdout.strip().splitlines()[-1]
-                    )
+                    try:
+                        artifact["train"] = json.loads(
+                            proc.stdout.strip().splitlines()[-1]
+                        )
+                    except (IndexError, ValueError) as e:
+                        artifact["train"] = {
+                            "error": f"unparseable child stdout: {e}"
+                        }
                 else:
                     artifact["train"] = {"error": (
                         f"rc={proc.returncode}: "
