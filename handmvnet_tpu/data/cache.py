@@ -98,6 +98,8 @@ class DecodedCache:
 
     # -------------------------------------------------------------- read --
     def _open(self) -> None:
+        # labels load fully into RAM (~15-20 KB/sample incl. the 778-vertex
+        # mesh -> ~150 MB for HO3D train); frames stay on disk via memmap
         if self._meta is None:
             self._meta = json.loads((self.dir / "meta.json").read_text())
             shape = (self._meta["n"], *self._meta["frame_shape"])
