@@ -156,6 +156,40 @@ def run_row(spec: str, iters: int) -> None:
     print(json.dumps(row))
 
 
+def _backend_probe(timeout_s: float = 180.0) -> bool:
+    """Cheap health check in a fresh process: backend init + one value read."""
+    import subprocess
+
+    try:
+        proc = subprocess.run(
+            [sys.executable, "-c",
+             "import jax, jax.numpy as jnp;"
+             "jax.devices();"
+             "x = jnp.ones((128, 128), jnp.bfloat16);"
+             "print('OK', float((x @ x).sum()))"],
+            capture_output=True, text=True, timeout=timeout_s,
+        )
+        return proc.returncode == 0 and "OK" in proc.stdout
+    except subprocess.TimeoutExpired:
+        return False
+
+
+def _wait_for_recovery(budget_s: float) -> bool:
+    """After a row error, give the backend time to come back (round 3: the
+    hrnet-v5/b8 crash left the tunnel degraded-then-hung, so the rows after
+    it were measured against a dying backend). Returns health."""
+    deadline = time.time() + budget_s
+    while True:
+        if _backend_probe():
+            return True
+        if time.time() >= deadline:
+            return False
+        print(f"# backend unhealthy after row error; waiting "
+              f"({deadline - time.time():.0f}s of recovery budget left)",
+              file=sys.stderr)
+        time.sleep(60)
+
+
 def _device_string(args) -> str:
     if not args.isolate:
         import jax
@@ -195,6 +229,12 @@ def main() -> None:
                              "recorded as that row's error and the matrix "
                              "continues (recommended on the relayed TPU)")
     parser.add_argument("--row-timeout", type=float, default=1200.0)
+    parser.add_argument("--recovery-budget", type=float, default=1800.0,
+                        help="--isolate: after an errored row, wait up to "
+                             "this long for the backend to pass a health "
+                             "probe before the next row (the round-3 crash "
+                             "left the tunnel degraded, poisoning every "
+                             "later measurement)")
     parser.add_argument("--row", default="",
                         help="internal: run ONE row (backbone:views:batch:"
                              "dtype) and print its JSON")
@@ -277,6 +317,13 @@ def main() -> None:
                                 )
                         except subprocess.TimeoutExpired:
                             row["error"] = f"hang > {args.row_timeout:.0f}s"
+                        if "error" in row and not _wait_for_recovery(
+                            args.recovery_budget
+                        ):
+                            row["note"] = (
+                                "backend did not recover within the budget; "
+                                "subsequent rows may be unreliable"
+                            )
                     else:
                         try:
                             fps, p50, device_fps, stats = run_protocol(bcfg, a := bench_args(b, v, iters, chunk=min(100, iters)), dt)

@@ -183,6 +183,27 @@ def main() -> None:
         row = {"probe": spec, "ok": ok, "wall_s": round(time.time() - t0, 1)}
         if not ok:
             row["tail"] = tail
+            # a crashing probe leaves the tunnel degraded (round-3 pattern);
+            # wait for a clean health probe so the NEXT probe's verdict is
+            # about its shape, not about the dying backend
+            if not args.platform:  # skip on forced-CPU sanity runs
+                deadline = time.time() + 1800
+                while time.time() < deadline:
+                    try:
+                        hp = subprocess.run(
+                            [sys.executable, "-c",
+                             "import jax, jax.numpy as jnp; jax.devices();"
+                             "x = jnp.ones((128,128), jnp.bfloat16);"
+                             "print('OK', float((x@x).sum()))"],
+                            capture_output=True, text=True, timeout=180,
+                        )
+                        if hp.returncode == 0 and "OK" in hp.stdout:
+                            break
+                    except subprocess.TimeoutExpired:
+                        pass
+                    time.sleep(60)
+                else:
+                    row["note"] = "backend did not recover within 30 min"
             stage = spec.split(":")[0]
             if first_crash_stage is None:
                 first_crash_stage = stage
