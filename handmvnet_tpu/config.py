@@ -82,6 +82,10 @@ class ModelConfig:
     freeze_bn: bool = False
     get_vertices: bool = False
     num_joints: int = 21
+    # eval-time batch->channel grouped packing of HRNet's lane-underfilled
+    # branch convs (models/backbones/hrnet.py HRModule._branch_grouped).
+    # Opt-in pending the on-chip probe verdict (BRANCH_PACKING_PROBE.json).
+    hrnet_branch_grouped: bool = False
 
     @property
     def num_views(self) -> int:

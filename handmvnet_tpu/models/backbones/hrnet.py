@@ -55,6 +55,11 @@ class HRModule(nn.Module):
     num_blocks: int = 4
     remat: bool = False
     packed: bool = True
+    # eval-time batch->channel packing of the narrow branch convs (see
+    # _branch_grouped). Default OFF until BRANCH_PACKING_PROBE.json shows
+    # XLA's TPU lowering runs grouped convs at native lane width (ROADMAP
+    # item 5 ledger) — if it densifies them, this pays B x the MACs.
+    branch_grouped: bool = False
 
     @nn.compact
     def __call__(self, xs: list[jax.Array], train: bool = False) -> list[jax.Array]:
@@ -62,14 +67,21 @@ class HRModule(nn.Module):
         block_cls = (
             nn.remat(BasicBlock, static_argnums=(2,)) if self.remat else BasicBlock
         )
+        use_grouped = (
+            self.branch_grouped and not train and not self.is_initializing()
+        )
         outs = []
         for i in range(self.num_branches):
             h = xs[i]
-            for b in range(self.num_blocks):
-                h = block_cls(
-                    planes=self.channels[i], stride=1, has_downsample=False,
-                    name=f"branches_{i}_{b}",
-                )(h, train)
+            # grouped packing only helps lane-underfilled widths (< 128)
+            if use_grouped and self.channels[i] < 128:
+                h = self._branch_grouped(h, i)
+            else:
+                for b in range(self.num_blocks):
+                    h = block_cls(
+                        planes=self.channels[i], stride=1, has_downsample=False,
+                        name=f"branches_{i}_{b}",
+                    )(h, train)
             outs.append(h)
 
         if self.packed and not train and not self.is_initializing():
@@ -114,6 +126,59 @@ class HRModule(nn.Module):
         v = jnp.asarray(st[bn_name]["var"], jnp.float32)
         s = g * jax.lax.rsqrt(v + BN_EPS)
         return k * s, b - m * s
+
+    def _branch_grouped(self, h: jax.Array, i: int) -> jax.Array:
+        """Branch i's 4 BasicBlocks with the batch folded into channels.
+
+        A 40/80-out-channel conv fills 40/128 of the MXU's output lanes; the
+        batch dim (b*v — 8 at the 8-view protocol) is spare parallelism that
+        CAN fill them: [B,H,W,C] -> [1,H,W,B*C] with one grouped conv per
+        original conv (feature_group_count=B, every group sharing the same
+        folded kernel). Exactly the same math as the BasicBlock chain in eval
+        mode (BN affine folded into kernel+bias; parity-tested) — whether it
+        is FASTER is a pure XLA-lowering question measured on-chip by
+        scripts/probe_branch_packing.py. Eval-only, apply-time; params and
+        checkpoints untouched.
+        """
+        from handmvnet_tpu.models.layers import BN_EPS
+
+        B, H, W, C = h.shape
+        dtype = h.dtype
+        dn = ("NHWC", "HWIO", "NHWC")
+        p = self.variables["params"]
+        st = self.variables["batch_stats"]
+
+        def folded(blk: str, conv_name: str, bn_name: str):
+            k = jnp.asarray(p[blk][conv_name]["kernel"], jnp.float32)
+            g = jnp.asarray(p[blk][bn_name]["scale"], jnp.float32)
+            b_ = jnp.asarray(p[blk][bn_name]["bias"], jnp.float32)
+            m = jnp.asarray(st[blk][bn_name]["mean"], jnp.float32)
+            v = jnp.asarray(st[blk][bn_name]["var"], jnp.float32)
+            s = g * jax.lax.rsqrt(v + BN_EPS)
+            # tile over groups: every group (= batch element) uses the same
+            # weights, so kernel [3,3,C,C] -> [3,3,C,B*C], bias [C] -> [B*C]
+            return (
+                jnp.tile(k * s, (1, 1, 1, B)).astype(dtype),
+                jnp.tile(b_ - m * s, (B,)).astype(dtype),
+            )
+
+        # [B,H,W,C] -> [1,H,W,B*C], batch-major channel blocks (group g of
+        # the grouped conv sees exactly batch element g's channels)
+        xg = jnp.transpose(h, (1, 2, 0, 3)).reshape(1, H, W, B * C)
+        pad = ((1, 1), (1, 1))
+        for b in range(self.num_blocks):
+            blk = f"branches_{i}_{b}"
+            k1, b1 = folded(blk, "conv1", "bn1")
+            k2, b2 = folded(blk, "conv2", "bn2")
+            y = jax.lax.conv_general_dilated(
+                xg, k1, (1, 1), pad, dimension_numbers=dn,
+                feature_group_count=B) + b1
+            y = nn.relu(y)
+            y = jax.lax.conv_general_dilated(
+                y, k2, (1, 1), pad, dimension_numbers=dn,
+                feature_group_count=B) + b2
+            xg = nn.relu(y + xg)
+        return jnp.transpose(xg.reshape(H, W, B, C), (2, 0, 1, 3))
 
     def _fuse_packed(self, outs: list[jax.Array]) -> list[jax.Array]:
         n = self.num_branches
@@ -210,6 +275,7 @@ class HRNetBackbone(nn.Module):
     width: str = "w40"
     remat: bool = False  # rematerialize branch blocks in backward
     packed: bool = True  # packed fuse lattice at eval time (see HRModule)
+    branch_grouped: bool = False  # eval-time grouped branch convs (HRModule)
 
     @nn.compact
     def __call__(self, x: jax.Array, train: bool = False) -> list[jax.Array]:
@@ -256,6 +322,7 @@ class HRNetBackbone(nn.Module):
                     channels=widths[:num_branches],
                     remat=self.remat,
                     packed=self.packed,
+                    branch_grouped=self.branch_grouped,
                     name=f"stage{stage_no}_{m}",
                 )(xs, train=train)
         return xs

@@ -58,6 +58,7 @@ class HandMvNet(nn.Module):
         cfg = self.cfg
         if cfg.backbone == "hrnet":
             return HRNetBackbone(width=cfg.backbone_type, remat=self.remat,
+                                 branch_grouped=cfg.hrnet_branch_grouped,
                                  name="backbone")(x, train=train)
         if cfg.backbone == "resnet":
             out = ResNetBackbone(
@@ -101,6 +102,33 @@ class HandMvNet(nn.Module):
         h = nn.relu(h)
         return conv(j, 3, 1, use_bias=True, name="pose_net_6")(h)
 
+    def _fuse_decode(self, tokens_b: jax.Array, train: bool) -> jax.Array:
+        """Cross-view fusion + joint decoder over the FULL token tensor
+        [b, v*j, feat] -> joints_cam [b, j, 3] (compute dtype)."""
+        cfg = self.cfg
+        j = cfg.num_joints
+        feat_dim = tokens_b.shape[-1]
+        if cfg.fusion == "cross_attn":
+            fused = CrossAttentionFusion(
+                feat_dim=feat_dim,
+                max_tokens=j * cfg.num_views,
+                custom_query_length=j,
+                num_layers=cfg.fusion_layers,
+                dropout=self.dropout,
+                name="joints_late_fusion",
+            )(tokens_b, add_pos="sin" in cfg.pos_enc, train=train)
+        elif cfg.fusion == "cross_attn_learnable_query":
+            fused = CrossAttentionFusionLearnableQuery(
+                feat_dim=feat_dim, max_tokens=j * cfg.num_views, dropout=0.0,
+                name="joints_late_fusion",
+            )(tokens_b, train=train)
+        else:
+            raise ValueError(f"invalid fusion type: {cfg.fusion}")
+
+        if cfg.use_gcn:
+            return JointsDecoderGCN(in_features=feat_dim, name="joints_decoder")(fused)
+        return JointsDecoderNN(in_features=feat_dim, name="joints_decoder")(fused)
+
     @nn.compact
     def __call__(
         self,
@@ -108,8 +136,28 @@ class HandMvNet(nn.Module):
         bbox: jax.Array | None = None,
         intrinsics: jax.Array | None = None,
         train: bool = False,
-    ) -> Dict[str, Any]:
+        stage: str = "full",
+    ) -> Dict[str, Any] | jax.Array:
+        """stage controls which part of the forward runs (for view-parallel
+        inference, parallel/view_parallel.py — the per-view trunk and the
+        cross-view fusion are separable at the token boundary):
+
+          "full"   — the whole forward (default; the reference's forward).
+          "tokens" — per-view trunk only: backbone -> heatmaps -> soft-argmax
+                     -> SampleNet tokens (+pos2d/crop encodings). Returns a
+                     dict with ``tokens`` [b, v*j, feat] plus the per-view
+                     output-dict entries. ``x`` may hold any subset of views.
+          "fuse"   — cross-view fusion + decoder only; ``x`` is the full
+                     token tensor [b, v*j, feat]. Returns joints_cam
+                     [b, j, 3] (compute dtype; the caller promotes).
+
+        Parameter names are identical in every stage (all submodules carry
+        explicit names), so one checkpoint serves all three paths.
+        """
         cfg = self.cfg
+        if stage == "fuse":
+            return self._fuse_decode(x, train)
+        assert stage in ("full", "tokens"), stage
         b, v = x.shape[0], x.shape[1]
         j = cfg.num_joints
         xv = x.reshape((b * v,) + x.shape[2:])
@@ -152,27 +200,20 @@ class HandMvNet(nn.Module):
         feat_dim = tokens.shape[-1]
         tokens_b = tokens.reshape(b, v * j, feat_dim)
 
-        if cfg.fusion == "cross_attn":
-            fused = CrossAttentionFusion(
-                feat_dim=feat_dim,
-                max_tokens=j * cfg.num_views,
-                custom_query_length=j,
-                num_layers=cfg.fusion_layers,
-                dropout=self.dropout,
-                name="joints_late_fusion",
-            )(tokens_b, add_pos="sin" in cfg.pos_enc, train=train)
-        elif cfg.fusion == "cross_attn_learnable_query":
-            fused = CrossAttentionFusionLearnableQuery(
-                feat_dim=feat_dim, max_tokens=j * cfg.num_views, dropout=0.0,
-                name="joints_late_fusion",
-            )(tokens_b, train=train)
-        else:
-            raise ValueError(f"invalid fusion type: {cfg.fusion}")
+        if stage == "tokens":
+            scale = float(self.image_size) / float(self.heatmap_size)
+            out_dtype = jnp.promote_types(x.dtype, jnp.float32)
+            return {
+                "tokens": tokens_b,
+                "joints_crop_img": (
+                    joint_coords.reshape(b, v, j, 2) * scale
+                ).astype(out_dtype),
+                "heatmap": hm_jf.reshape(
+                    b, v, j, self.heatmap_size, self.heatmap_size
+                ).astype(out_dtype),
+            }
 
-        if cfg.use_gcn:
-            joints_cam = JointsDecoderGCN(in_features=feat_dim, name="joints_decoder")(fused)
-        else:
-            joints_cam = JointsDecoderNN(in_features=feat_dim, name="joints_decoder")(fused)
+        joints_cam = self._fuse_decode(tokens_b, train)
 
         out: Dict[str, Any] = {}
         if not self.root_relative:

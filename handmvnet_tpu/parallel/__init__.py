@@ -1,4 +1,9 @@
 from handmvnet_tpu.parallel.mesh import make_mesh  # noqa: F401
+from handmvnet_tpu.parallel.view_parallel import (  # noqa: F401
+    make_inference_mesh,
+    make_view_parallel_forward,
+    view_data_sharding,
+)
 from handmvnet_tpu.parallel.train_step import (  # noqa: F401
     TrainState,
     create_train_state,

@@ -1,0 +1,130 @@
+"""View-parallel (model-parallel) multi-chip inference.
+
+The reference has no model-parallel story (Lightning DDP is data-parallel
+only, reference train.py:39-44); this is a TPU-native addition. HandMvNet's
+forward is per-view almost everywhere: the backbone + heatmap head +
+SampleNet trunk (~84% of the frame on the flagship, ROADMAP 5b) runs each
+view independently, and the views only meet at the 168-token cross-view
+fusion. That makes the VIEW axis a natural mesh dimension:
+
+  mesh (data, view):
+    rgb [b, v, H, W, 3]  sharded (data, view) on axes (0, 1)
+    -> per-device trunk on its local views   (stage="tokens")
+    -> all_gather tokens over "view"         (~b * v*21 * feat * 2 bytes —
+       ~130 KB at the 8-view protocol: one tiny ICI hop)
+    -> fusion + decoder replicated           (stage="fuse", ~0.07 ms)
+
+  latency scales ~1/n_view for the dominant trunk; the collective moves
+  kilobytes where activations-sharding schemes would move megabytes.
+
+Eval/inference only: training wants the data axis (gradients dwarf the
+trunk-latency question, and BN batch stats are per-view-batch anyway).
+
+Params are REPLICATED (30-130 MB model — far below per-chip HBM); there is
+deliberately no weight sharding: at 168 tokens the matmuls are too small to
+benefit from tensor-sharded weights, while replication keeps every matmul
+full-width on the MXU.
+"""
+
+from __future__ import annotations
+
+from typing import Callable
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax import shard_map
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from handmvnet_tpu.parallel.mesh import DATA_AXIS
+
+VIEW_AXIS = "view"
+
+
+def make_inference_mesh(data: int, view: int, devices=None) -> Mesh:
+    """2-D (data, view) mesh over the first data*view devices.
+
+    The view axis is the minor (fastest-varying) one so that the token
+    all_gather rides adjacent-device ICI links.
+    """
+    if devices is None:
+        devices = jax.devices()
+    need = data * view
+    if len(devices) < need:
+        raise ValueError(
+            f"requested a {data}x{view} mesh but only {len(devices)} devices"
+        )
+    grid = np.asarray(devices[:need]).reshape(data, view)
+    return Mesh(grid, axis_names=(DATA_AXIS, VIEW_AXIS))
+
+
+def view_data_sharding(mesh: Mesh) -> NamedSharding:
+    """Sharding for [b, v, ...] batch leaves: batch over "data", views over
+    "view"."""
+    return NamedSharding(mesh, P(DATA_AXIS, VIEW_AXIS))
+
+
+def make_view_parallel_forward(
+    model, mesh: Mesh, compute_dtype: str = "float32"
+) -> Callable:
+    """Returns fn(variables, rgb, bboxes, intrinsic) -> output dict, jitted
+    over `mesh`; rgb/bboxes/intrinsic are [b, v, ...] sharded (data, view).
+
+    The output dict matches ``model.apply(...)`` exactly (parity-tested,
+    tests/test_view_parallel.py): per-view entries (joints_crop_img,
+    heatmap) come back view-sharded, joints_cam replicated over "view".
+    """
+    assert model.root_relative, (
+        "view-parallel inference supports the release (root-relative) "
+        "configs; the dormant absolute-root branch fuses per-view wrist "
+        "tokens and is not plumbed through the token gather"
+    )
+    n_view = mesh.shape[VIEW_AXIS]
+
+    def local_fn(variables, rgb, bboxes, intrinsic):
+        # rgb local block: [b_local, v_local, H, W, 3]
+        if compute_dtype == "bfloat16":
+            rgb = rgb.astype(jnp.bfloat16)
+            variables = dict(variables)
+            variables["params"] = jax.tree.map(
+                lambda p: p.astype(jnp.bfloat16) if p.dtype == jnp.float32 else p,
+                variables["params"],
+            )
+        tk = model.apply(variables, rgb, bboxes, intrinsic, train=False,
+                         stage="tokens")
+        # [b_l, v_l*j, feat] -> [b_l, v*j, feat]; tiled all_gather
+        # concatenates in mesh-axis order == global view order (the batch is
+        # sharded contiguously along axis 1)
+        tokens = jax.lax.all_gather(tk["tokens"], VIEW_AXIS, axis=1, tiled=True)
+        joints_cam = model.apply(variables, tokens, train=False, stage="fuse")
+        out_dtype = jnp.promote_types(rgb.dtype, jnp.float32)
+        return {
+            "joints_crop_img": tk["joints_crop_img"],
+            "heatmap": tk["heatmap"],
+            "joints_cam": joints_cam.astype(out_dtype),
+        }
+
+    sharded = shard_map(
+        local_fn,
+        mesh=mesh,
+        in_specs=(P(), P(DATA_AXIS, VIEW_AXIS), P(DATA_AXIS, VIEW_AXIS),
+                  P(DATA_AXIS, VIEW_AXIS)),
+        out_specs={
+            "joints_crop_img": P(DATA_AXIS, VIEW_AXIS),
+            "heatmap": P(DATA_AXIS, VIEW_AXIS),
+            # identical on every view column (deterministic compute over the
+            # gathered tokens) — declared replicated over "view"
+            "joints_cam": P(DATA_AXIS),
+        },
+        check_vma=False,
+    )
+
+    def checked(variables, rgb, bboxes, intrinsic):
+        if rgb.shape[1] % n_view:
+            raise ValueError(
+                f"num_views={rgb.shape[1]} must divide over the view mesh "
+                f"axis ({n_view})"
+            )
+        return sharded(variables, rgb, bboxes, intrinsic)
+
+    return jax.jit(checked)

@@ -21,10 +21,17 @@ Each timing: K applies per dispatch via lax.scan (sequential dependency so
 nothing is elided), scalar VALUE read as the barrier (block_until_ready is
 not trustworthy on the relayed transport — bench.py header), best of 3.
 
+Additionally measures the INTEGRATED path end-to-end: the full
+HRNetBackbone-w40 at the 8-view protocol shape with
+HRModule.branch_grouped off vs on (the shipped, parity-tested
+implementation of the `grouped` formulation — models/backbones/hrnet.py
+_branch_grouped). K chained applies per dispatch (outputs folded back into
+the input so nothing is elided), scalar value-read barrier.
+
 Run (real TPU): python scripts/probe_branch_packing.py
 Writes BRANCH_PACKING_PROBE.json; the verdict feeds the ROADMAP ledger —
-either a winning formulation to implement in HRModule, or a recorded
-rejection with numbers.
+either a winning formulation to flip on (config
+model.hrnet_branch_grouped), or a recorded rejection with numbers.
 """
 
 from __future__ import annotations
@@ -69,12 +76,58 @@ def timed_conv(make_inputs, conv_fn, K: int, repeats: int = 3) -> float:
     return min(once() for _ in range(repeats)) / K
 
 
+def timed_backbone(grouped: bool, dt, batch: int = 8, image: int = 256,
+                   K: int = 20, repeats: int = 3) -> float:
+    """Seconds per full HRNetBackbone-w40 eval apply at the 8-view protocol
+    shape, branch_grouped off/on; K chained applies per dispatch (each
+    iteration's input is perturbed by the previous outputs so the scan is a
+    true sequential dependency)."""
+    import jax
+    import jax.numpy as jnp
+
+    from handmvnet_tpu.models.backbones.hrnet import HRNetBackbone
+
+    model = HRNetBackbone(width="w40", branch_grouped=grouped)
+    key = jax.random.PRNGKey(0)
+    x = jax.random.normal(key, (batch, image, image, 3), dt) * 0.3
+    v = jax.jit(lambda k, x: model.init(k, x, False))(key, x)
+    if dt == jnp.bfloat16:
+        # match the bench's mixed-precision eval: params in bf16 on the MXU
+        v = jax.tree.map(
+            lambda p: p.astype(dt) if p.dtype == jnp.float32 else p, v
+        )
+
+    def chained(v, x):
+        def body(h, _):
+            outs = model.apply(v, h, False)
+            s = sum(jnp.mean(jnp.square(o.astype(jnp.float32))) for o in outs)
+            h = h * (0.999 + 1e-6 * jax.lax.rsqrt(s + 1e-6)).astype(h.dtype)
+            return h, ()
+
+        h, _ = jax.lax.scan(body, x, None, length=K)
+        return h
+
+    compiled = jax.jit(chained).lower(v, x).compile()
+    res = compiled(v, x)
+    _ = float(res[(0,) * res.ndim])  # warm + barrier
+
+    def once() -> float:
+        t0 = time.perf_counter()
+        r = compiled(v, x)
+        _ = float(r[(0,) * r.ndim])
+        return time.perf_counter() - t0
+
+    return min(once() for _ in range(repeats)) / K
+
+
 def main() -> None:
     parser = argparse.ArgumentParser()
     parser.add_argument("--batch", type=int, default=8)
     parser.add_argument("--hw", type=int, default=64)
     parser.add_argument("--channels", type=int, default=40)
     parser.add_argument("--scan", type=int, default=200)
+    parser.add_argument("--image", type=int, default=256,
+                        help="input resolution for the integrated model A/B")
     parser.add_argument("--dtype", default="bfloat16")
     parser.add_argument("--platform", default="",
                         help="force a jax platform (e.g. cpu for CI sanity; "
@@ -157,6 +210,24 @@ def main() -> None:
     for name, row in result["rows"].items():
         if base and "us_per_apply" in row:
             row["speedup_vs_baseline"] = round(base / row["us_per_apply"], 3)
+
+    # integrated A/B: the full backbone with the shipped branch_grouped
+    # implementation off vs on (what flipping model.hrnet_branch_grouped
+    # actually buys end-to-end)
+    for grouped in (False, True):
+        name = "model_grouped" if grouped else "model_plain"
+        try:
+            sec = timed_backbone(grouped, dt, batch=args.batch,
+                                 image=args.image,
+                                 K=max(args.scan // 10, 10))
+            result["rows"][name] = {"ms_per_apply": round(sec * 1e3, 3)}
+        except Exception as e:  # noqa: BLE001 - record per-case
+            result["rows"][name] = {"error": f"{type(e).__name__}: {e}"[:200]}
+        print(name, json.dumps(result["rows"][name]), file=sys.stderr)
+    mp = result["rows"].get("model_plain", {}).get("ms_per_apply")
+    mg = result["rows"].get("model_grouped", {}).get("ms_per_apply")
+    if mp and mg:
+        result["rows"]["model_grouped"]["speedup_vs_plain"] = round(mp / mg, 3)
 
     Path(args.out).write_text(json.dumps(result, indent=2) + "\n")
     print(f"wrote {args.out}", file=sys.stderr)

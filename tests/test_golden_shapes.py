@@ -106,3 +106,34 @@ def test_hrnet_packed_fuse_matches_unpacked():
     for ai, bi in zip(a, b):
         rel = float(jnp.max(jnp.abs(ai - bi))) / float(jnp.max(jnp.abs(ai)))
         assert rel < 1e-4
+
+
+def test_hrnet_branch_grouped_matches_plain():
+    """The eval-time grouped branch-conv packing (HRModule._branch_grouped:
+    batch folded into channels, one feature_group_count=B conv per original
+    conv, BN folded) is exact math from the SAME param tree — outputs must
+    match the plain path to fp32 noise. Whether it is FASTER is measured
+    on-chip (scripts/probe_branch_packing.py); this pins that turning it on
+    can never change results."""
+    import jax
+    import jax.numpy as jnp
+
+    from handmvnet_tpu.models.backbones.hrnet import HRNetBackbone
+
+    rng = jax.random.PRNGKey(2)
+    x = jax.random.normal(rng, (3, 64, 64, 3), jnp.float32) * 0.3
+    plain = HRNetBackbone(width="w40", branch_grouped=False)
+    grouped = HRNetBackbone(width="w40", branch_grouped=True)
+    v = plain.init(rng, x, False)
+    assert jax.tree.structure(v) == jax.tree.structure(grouped.init(rng, x, False))
+
+    a = plain.apply(v, x, False)
+    b = grouped.apply(v, x, False)
+    for i, (ai, bi) in enumerate(zip(a, b)):
+        rel = float(jnp.max(jnp.abs(ai - bi))) / float(jnp.max(jnp.abs(ai)))
+        assert rel < 1e-4, f"branch {i}: rel={rel}"
+    # training path must be untouched by the flag (grouped is eval-only)
+    t_a, m_a = plain.apply(v, x, True, mutable=["batch_stats"])
+    t_b, m_b = grouped.apply(v, x, True, mutable=["batch_stats"])
+    for ai, bi in zip(t_a, t_b):
+        assert float(jnp.max(jnp.abs(ai - bi))) == 0.0
