@@ -11,7 +11,7 @@ fusion. That makes the VIEW axis a natural mesh dimension:
     rgb [b, v, H, W, 3]  sharded (data, view) on axes (0, 1)
     -> per-device trunk on its local views   (stage="tokens")
     -> all_gather tokens over "view"         (~b * v*21 * feat * 2 bytes —
-       ~130 KB at the 8-view protocol: one tiny ICI hop)
+       ~176 KB at the 8-view protocol (168 tokens x 524 feat x bf16): one tiny ICI hop)
     -> fusion + decoder replicated           (stage="fuse", ~0.07 ms)
 
   latency scales ~1/n_view for the dominant trunk; the collective moves
