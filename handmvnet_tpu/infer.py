@@ -23,6 +23,12 @@ def main(argv=None) -> None:
     parser.add_argument("--synthetic", action="store_true", help="use a synthetic batch instead of the dataset")
     parser.add_argument("--output-dir", default="outputs/infer")
     parser.add_argument("--batch-size", type=int, default=1)
+    parser.add_argument(
+        "--view-mesh", default="",
+        help="DxV (e.g. 1x4): run the network forward view-parallel over a "
+             "2-D (data x view) device mesh (parallel/view_parallel.py) — "
+             "for multi-chip hosts/pods; numerically equal to the plain "
+             "forward (tests/test_view_parallel.py)")
     args = parser.parse_args(argv)
 
     import cv2
@@ -93,12 +99,31 @@ def main(argv=None) -> None:
         mano = ManoLayer(synthetic_mano_model())
     j2v = joints_to_vertices_fn(mano)
 
-    def step(variables, rgb, bboxes, intr):
-        out = model.apply(variables, rgb, bboxes, intr)
-        out["vertices"] = j2v(out["joints_cam"] * 1000.0)
-        return out
+    if args.view_mesh:
+        from handmvnet_tpu.parallel import (
+            make_inference_mesh,
+            make_view_parallel_forward,
+            view_data_sharding,
+        )
 
-    out = jax.jit(step)(variables, rgb, bboxes, intr)
+        d, v = (int(t) for t in args.view_mesh.lower().split("x"))
+        mesh = make_inference_mesh(d, v)
+        fwd = make_view_parallel_forward(model, mesh)
+        sharding = view_data_sharding(mesh)
+        out = dict(fwd(
+            variables,
+            *(jax.device_put(x, sharding) for x in (rgb, bboxes, intr)),
+        ))
+        # mesh recovery is per-sample (data-sharded, collective-free) — a
+        # separate jitted dispatch on the replicated joints is fine here
+        out["vertices"] = jax.jit(j2v)(out["joints_cam"] * 1000.0)
+    else:
+        def step(variables, rgb, bboxes, intr):
+            out = model.apply(variables, rgb, bboxes, intr)
+            out["vertices"] = j2v(out["joints_cam"] * 1000.0)
+            return out
+
+        out = jax.jit(step)(variables, rgb, bboxes, intr)
     out_np = {k: np.asarray(v) for k, v in out.items()}
     print("joints_cam[0,0]:", out_np["joints_cam"][0, 0], "(m, root-relative)")
 

@@ -81,6 +81,33 @@ def test_view_axis_must_divide_views(setup):
         fn(variables, *inputs)
 
 
+@pytest.mark.slow
+def test_view_parallel_hrnet():
+    """The HRNet trunk (incl. the eval-time packed fuse lattice) under the
+    view mesh matches the plain forward."""
+    cfg, model = _build(num_views=2, image_size=32,
+                        config="configs/release/HO3D_HandMvNet_HR_wo_cam.yaml")
+    batch = synthetic_batch(batch_size=2, num_views=2, image_size=32,
+                            heatmap_size=4, with_heatmaps=False, seed=13)
+    inputs = (
+        jnp.asarray(batch["rgb"]),
+        jnp.asarray(batch["bboxes"]),
+        jnp.asarray(batch["intrinsic"]),
+    )
+    variables = model.init(jax.random.PRNGKey(1), *inputs, train=False)
+    ref = jax.jit(
+        lambda v, rgb, bb, intr: model.apply(v, rgb, bb, intr, train=False)
+    )(variables, *inputs)
+
+    mesh = make_inference_mesh(2, 2)
+    fn = make_view_parallel_forward(model, mesh)
+    sharding = view_data_sharding(mesh)
+    out = fn(variables, *(jax.device_put(x, sharding) for x in inputs))
+    np.testing.assert_allclose(
+        np.asarray(out["joints_cam"]), np.asarray(ref["joints_cam"]),
+        rtol=1e-4, atol=1e-4)
+
+
 def test_root_branch_rejected():
     cfg, model = _build(num_views=2, image_size=32)
     model_abs = model.clone(root_relative=False)
