@@ -107,6 +107,14 @@ def main(argv=None) -> None:
         )
 
         d, v = (int(t) for t in args.view_mesh.lower().split("x"))
+        # check here: the device_put below would otherwise fail first with
+        # an opaque sharding error, ahead of view_parallel's own guard
+        if rgb.shape[0] % d or rgb.shape[1] % v:
+            raise SystemExit(
+                f"--view-mesh {d}x{v} needs --batch-size divisible by {d} "
+                f"(got {rgb.shape[0]}) and the config's views divisible by "
+                f"{v} (got {rgb.shape[1]})"
+            )
         mesh = make_inference_mesh(d, v)
         fwd = make_view_parallel_forward(model, mesh)
         sharding = view_data_sharding(mesh)

@@ -113,17 +113,27 @@ class HRModule(nn.Module):
             fused.append(nn.relu(acc))
         return fused
 
-    def _folded(self, conv_name: str, bn_name: str):
-        """Conv kernel + bias with the eval-mode BN affine folded in (fp32)."""
+    def _folded(self, conv_name: str, bn_name: str, root: str | None = None,
+                ftype=jnp.float32):
+        """Conv kernel + bias with the eval-mode BN affine folded in.
+
+        ``root`` selects a param/stat subtree (e.g. a branch block name).
+        ``ftype`` is the fold dtype — callers pass
+        ``jnp.promote_types(x.dtype, jnp.float32)`` so low precisions fold
+        at >= f32 while f64 parity runs stay f64 (never downcast,
+        CLAUDE.md dtype rule)."""
         from handmvnet_tpu.models.layers import BN_EPS
 
         p = self.variables["params"]
         st = self.variables["batch_stats"]
-        k = jnp.asarray(p[conv_name]["kernel"], jnp.float32)
-        g = jnp.asarray(p[bn_name]["scale"], jnp.float32)
-        b = jnp.asarray(p[bn_name]["bias"], jnp.float32)
-        m = jnp.asarray(st[bn_name]["mean"], jnp.float32)
-        v = jnp.asarray(st[bn_name]["var"], jnp.float32)
+        if root is not None:
+            p = p[root]
+            st = st[root]
+        k = jnp.asarray(p[conv_name]["kernel"], ftype)
+        g = jnp.asarray(p[bn_name]["scale"], ftype)
+        b = jnp.asarray(p[bn_name]["bias"], ftype)
+        m = jnp.asarray(st[bn_name]["mean"], ftype)
+        v = jnp.asarray(st[bn_name]["var"], ftype)
         s = g * jax.lax.rsqrt(v + BN_EPS)
         return k * s, b - m * s
 
@@ -140,26 +150,18 @@ class HRModule(nn.Module):
         scripts/probe_branch_packing.py. Eval-only, apply-time; params and
         checkpoints untouched.
         """
-        from handmvnet_tpu.models.layers import BN_EPS
-
         B, H, W, C = h.shape
         dtype = h.dtype
+        ftype = jnp.promote_types(dtype, jnp.float32)
         dn = ("NHWC", "HWIO", "NHWC")
-        p = self.variables["params"]
-        st = self.variables["batch_stats"]
 
         def folded(blk: str, conv_name: str, bn_name: str):
-            k = jnp.asarray(p[blk][conv_name]["kernel"], jnp.float32)
-            g = jnp.asarray(p[blk][bn_name]["scale"], jnp.float32)
-            b_ = jnp.asarray(p[blk][bn_name]["bias"], jnp.float32)
-            m = jnp.asarray(st[blk][bn_name]["mean"], jnp.float32)
-            v = jnp.asarray(st[blk][bn_name]["var"], jnp.float32)
-            s = g * jax.lax.rsqrt(v + BN_EPS)
+            k, b_ = self._folded(conv_name, bn_name, root=blk, ftype=ftype)
             # tile over groups: every group (= batch element) uses the same
             # weights, so kernel [3,3,C,C] -> [3,3,C,B*C], bias [C] -> [B*C]
             return (
-                jnp.tile(k * s, (1, 1, 1, B)).astype(dtype),
-                jnp.tile(b_ - m * s, (B,)).astype(dtype),
+                jnp.tile(k, (1, 1, 1, B)).astype(dtype),
+                jnp.tile(b_, (B,)).astype(dtype),
             )
 
         # [B,H,W,C] -> [1,H,W,B*C], batch-major channel blocks (group g of
@@ -184,13 +186,15 @@ class HRModule(nn.Module):
         n = self.num_branches
         dn = ("NHWC", "HWIO", "NHWC")
         dtype = outs[0].dtype
+        ftype = jnp.promote_types(dtype, jnp.float32)
         contrib: dict[int, list[jax.Array]] = {i: [] for i in range(n)}
 
         # upsample paths, grouped by source j: ONE 1x1 conv per source with
         # concatenated (BN-folded) kernels, then split + nearest-upsample
         for j in range(1, n):
             kers, biases = zip(*(
-                self._folded(f"fuse_layers_{i}_{j}_0", f"fuse_layers_{i}_{j}_1")
+                self._folded(f"fuse_layers_{i}_{j}_0", f"fuse_layers_{i}_{j}_1",
+                             ftype=ftype)
                 for i in range(j)
             ))
             kcat = jnp.concatenate(kers, axis=-1).astype(dtype)
@@ -225,13 +229,14 @@ class HRModule(nn.Module):
                     k, b = self._folded(
                         f"fuse_layers_{i}_{j}_{level}_0",
                         f"fuse_layers_{i}_{j}_{level}_1",
+                        ftype=ftype,
                     )
 
                     if live[i] != (0, in_ch):
                         # block-diagonal placement: zero rows outside this
                         # chain's input slice
                         start, _ = live[i]
-                        full = jnp.zeros(k.shape[:2] + (in_ch, k.shape[-1]), jnp.float32)
+                        full = jnp.zeros(k.shape[:2] + (in_ch, k.shape[-1]), ftype)
                         k = jax.lax.dynamic_update_slice(
                             full, k, (0, 0, start, 0))
                     kers.append(k)

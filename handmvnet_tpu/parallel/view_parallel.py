@@ -32,30 +32,25 @@ from typing import Callable
 
 import jax
 import jax.numpy as jnp
-import numpy as np
 from jax import shard_map
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
-from handmvnet_tpu.parallel.mesh import DATA_AXIS
+from handmvnet_tpu.parallel.mesh import DATA_AXIS, make_mesh
 
 VIEW_AXIS = "view"
 
 
 def make_inference_mesh(data: int, view: int, devices=None) -> Mesh:
-    """2-D (data, view) mesh over the first data*view devices.
+    """2-D (data, view) mesh over data*view devices.
 
     The view axis is the minor (fastest-varying) one so that the token
-    all_gather rides adjacent-device ICI links.
+    all_gather rides adjacent-device ICI links. Device selection is
+    delegated to make_mesh so the multi-controller rules apply (a bare
+    device prefix would land entirely on process 0 — mesh.py:37-58).
     """
-    if devices is None:
-        devices = jax.devices()
     need = data * view
-    if len(devices) < need:
-        raise ValueError(
-            f"requested a {data}x{view} mesh but only {len(devices)} devices"
-        )
-    grid = np.asarray(devices[:need]).reshape(data, view)
-    return Mesh(grid, axis_names=(DATA_AXIS, VIEW_AXIS))
+    selected = make_mesh(num_devices=need, devices=devices).devices
+    return Mesh(selected.reshape(data, view), axis_names=(DATA_AXIS, VIEW_AXIS))
 
 
 def view_data_sharding(mesh: Mesh) -> NamedSharding:
@@ -119,11 +114,18 @@ def make_view_parallel_forward(
         check_vma=False,
     )
 
+    n_data = mesh.shape[DATA_AXIS]
+
     def checked(variables, rgb, bboxes, intrinsic):
         if rgb.shape[1] % n_view:
             raise ValueError(
                 f"num_views={rgb.shape[1]} must divide over the view mesh "
                 f"axis ({n_view})"
+            )
+        if rgb.shape[0] % n_data:
+            raise ValueError(
+                f"batch={rgb.shape[0]} must divide over the data mesh "
+                f"axis ({n_data})"
             )
         return sharded(variables, rgb, bboxes, intrinsic)
 
