@@ -30,18 +30,22 @@ import pytest
 REPO = Path(__file__).resolve().parents[1]
 
 
-@pytest.mark.slow
-def test_full_model_gradient_parity_f64():
+def _run_impl(config: str, image_size: int, timeout: float = 1500) -> dict:
     env = dict(os.environ)
     env["PYTHONPATH"] = os.pathsep.join(
         [str(REPO), str(REPO / "tests"), env.get("PYTHONPATH", "")]
     )
     proc = subprocess.run(
-        [sys.executable, __file__, "--impl"],
-        env=env, cwd=REPO, capture_output=True, text=True, timeout=1500,
+        [sys.executable, __file__, "--impl", config, str(image_size)],
+        env=env, cwd=REPO, capture_output=True, text=True, timeout=timeout,
     )
     assert proc.returncode == 0, proc.stdout[-2000:] + proc.stderr[-2000:]
-    result = json.loads(proc.stdout.strip().splitlines()[-1])
+    return json.loads(proc.stdout.strip().splitlines()[-1])
+
+
+@pytest.mark.slow
+def test_full_model_gradient_parity_f64():
+    result = _run_impl("configs/release/HO3D_HandMvNet.yaml", 256)
 
     assert result["loss_rel_diff"] < 1e-7, result  # term-summation roundoff wiggles ~1e-8
     # every parameter's gradient, full model, f64: identical math. The
@@ -58,7 +62,25 @@ def test_full_model_gradient_parity_f64():
     assert result["stats_worst_rel"] < 1e-9, result
 
 
-def _impl() -> None:
+@pytest.mark.slow
+def test_hrnet_gradient_parity_f64():
+    """The same full-model f64 gradient proof for the SECOND backbone
+    family: HRNet-w40 wo_cam (pos2d+sin encodings, no reprojection terms,
+    mask_invisible_joints=false) at 128^2 (the gradient semantics are
+    resolution-independent; 128^2 keeps the 1-core f64 runtime sane —
+    the image/heatmap=8 ratio the quirks depend on is preserved)."""
+    result = _run_impl(
+        "configs/release/HO3D_HandMvNet_HR_wo_cam.yaml", 128, timeout=2400
+    )
+    assert result["loss_rel_diff"] < 1e-7, result
+    assert result["n_checked"] > 100, result
+    assert result["worst_rel"] < 5e-6, result
+    assert result["worst_cos"] > 1 - 1e-9, result
+    assert result["n_dead_mismatched"] == 0, result
+    assert result["stats_worst_rel"] < 1e-9, result
+
+
+def _impl(config_path: str, image_size: int) -> None:
     import jax
 
     jax.config.update("jax_platforms", "cpu")
@@ -103,11 +125,15 @@ def _impl() -> None:
     ref_layers.ChebConv.cheb_polynomial = cheb_polynomial_dtype_faithful
 
     rng = np.random.default_rng(42)
+    hm_size = image_size // 8  # the quirks' fixed image/heatmap ratio
 
-    ref_cfg = ref_cfg_from_yaml("configs/release/HO3D_HandMvNet.yaml")
+    ref_cfg = ref_cfg_from_yaml(config_path)
     for sec in ("model", "data"):
         ref_cfg[sec]["selected_views"] = [0, 1]
         ref_cfg[sec]["num_views"] = 2
+    ref_cfg["data"]["image_size"] = image_size
+    ref_cfg["data"]["heatmap_size"] = hm_size
+    mask_invisible = bool(ref_cfg["train"]["mask_invisible_joints"])
     tmodel = build_reference_model(ref_cfg).double()
     # convert BEFORE the torch forward: train-mode BN mutates running stats
     converted = convert_torch_state_dict(tmodel.state_dict())
@@ -120,16 +146,16 @@ def _impl() -> None:
             m.eval()
 
     b, v = 1, 2
-    x = rng.normal(size=(b, v, 3, 256, 256)) * 0.5
+    x = rng.normal(size=(b, v, 3, image_size, image_size)) * 0.5
     bbox = np.stack(
         [np.array([80.0, 60.0, 280.0, 260.0]) + 5 * i for i in range(v)]
     )[None]
     intr32, extr32 = make_cam_params(rng, b, v)
     intr, extr = intr32.astype(np.float64), extr32.astype(np.float64)
     labels = {
-        "joints_crop_img": rng.uniform(0, 256, size=(b, v, 21, 2)),
+        "joints_crop_img": rng.uniform(0, image_size, size=(b, v, 21, 2)),
         "joints_cam": rng.normal(size=(b, 21, 3)) * 0.05,
-        "heatmap": rng.normal(size=(b, v, 21, 32, 32)),
+        "heatmap": rng.normal(size=(b, v, 21, hm_size, hm_size)),
         "root_joint": rng.normal(size=(b, 1, 3)) * 0.1 + np.array([0, 0, 0.6]),
         "root_idx": np.zeros((b,), dtype=np.int64),
         "bboxes": bbox,
@@ -152,9 +178,10 @@ def _impl() -> None:
     ref_stats_after = convert_torch_state_dict(tmodel.state_dict())["batch_stats"]
 
     # ---- ours: same weights/batch in f64, jax.grad of the same total loss
-    cfg = Config.from_yaml("configs/release/HO3D_HandMvNet.yaml")
+    cfg = Config.from_yaml(config_path)
     cfg = cfg.replace(model=dataclasses.replace(cfg.model, selected_views=(0, 1)))
-    model = HandMvNet(cfg=cfg.model, image_size=256, heatmap_size=32, dropout=0.0)
+    model = HandMvNet(cfg=cfg.model, image_size=image_size,
+                      heatmap_size=hm_size, dropout=0.0)
     params = jax.tree.map(lambda a: jnp.asarray(a, jnp.float64), converted["params"])
     batch_stats = jax.tree.map(
         lambda a: jnp.asarray(a, jnp.float64), converted["batch_stats"]
@@ -174,9 +201,9 @@ def _impl() -> None:
         )
         terms = handmvnet_loss(
             out, labels_j, weights,
-            mask_invisible_joints=True, root_relative=True,
+            mask_invisible_joints=mask_invisible, root_relative=True,
             intrinsics=jnp.asarray(intr), extrinsics=jnp.asarray(extr),
-            root_idx=0, image_size=256.0,
+            root_idx=0, image_size=float(image_size),
         )
         return terms["loss"], mut
 
@@ -236,4 +263,5 @@ def _impl() -> None:
 
 if __name__ == "__main__":
     if "--impl" in sys.argv:
-        _impl()
+        i = sys.argv.index("--impl")
+        _impl(sys.argv[i + 1], int(sys.argv[i + 2]))
