@@ -268,6 +268,44 @@ def main() -> None:
     batches = (1,) if args.quick else BATCHES
     iters = 60 if args.quick else args.iters
 
+    # Measure train throughput BEFORE the inference rows: it is the most
+    # transport-sensitive figure in the artifact, and the matrix's own
+    # crash-prone shape (hrnet v5/b8 bf16) leaves the tunnel throttled for
+    # everything that follows (measured: 162 samples/s healthy -> 22 in
+    # round 3's post-crash window, 6.2 in round 4's). Train-first means a
+    # worker crash can only poison rows that come after it, never this one.
+    train_result = None
+    if not args.skip_train:
+        try:
+            if args.isolate:
+                import subprocess
+
+                cmd = [sys.executable, str(Path(__file__).resolve()),
+                       "--row", "train"]
+                if args.quick:
+                    cmd.append("--quick")
+                proc = subprocess.run(cmd, capture_output=True, text=True,
+                                      timeout=args.row_timeout)
+                if proc.returncode == 0:
+                    try:
+                        train_result = json.loads(
+                            proc.stdout.strip().splitlines()[-1]
+                        )
+                    except (IndexError, ValueError) as e:
+                        train_result = {
+                            "error": f"unparseable child stdout: {e}"
+                        }
+                else:
+                    train_result = {"error": (
+                        f"rc={proc.returncode}: "
+                        + (proc.stderr or proc.stdout).strip()[-250:]
+                    )}
+            else:
+                train_result = train_throughput(10 if args.quick else 30)
+        except Exception as e:  # noqa: BLE001
+            train_result = {"error": f"{type(e).__name__}: {e}"[:300]}
+        print(json.dumps(train_result), file=sys.stderr)
+
     rows = []
     combo_idx = 0
     for backbone, cfg_path in BACKBONES.items():
@@ -365,41 +403,9 @@ def main() -> None:
         "quick": bool(args.quick),
         "rows": rows,
     }
-    # write the rows BEFORE attempting train throughput: a dead/hung backend
-    # after the matrix (the observed worker-crash mode) must not lose an
-    # hour of measured rows
+    if train_result is not None:
+        artifact["train"] = train_result
     Path(args.out).write_text(json.dumps(artifact, indent=2) + "\n")
-    if not args.skip_train:
-        try:
-            if args.isolate:
-                import subprocess
-
-                cmd = [sys.executable, str(Path(__file__).resolve()),
-                       "--row", "train"]
-                if args.quick:
-                    cmd.append("--quick")
-                proc = subprocess.run(cmd, capture_output=True, text=True,
-                                      timeout=args.row_timeout)
-                if proc.returncode == 0:
-                    try:
-                        artifact["train"] = json.loads(
-                            proc.stdout.strip().splitlines()[-1]
-                        )
-                    except (IndexError, ValueError) as e:
-                        artifact["train"] = {
-                            "error": f"unparseable child stdout: {e}"
-                        }
-                else:
-                    artifact["train"] = {"error": (
-                        f"rc={proc.returncode}: "
-                        + (proc.stderr or proc.stdout).strip()[-250:]
-                    )}
-            else:
-                artifact["train"] = train_throughput(10 if args.quick else 30)
-        except Exception as e:  # noqa: BLE001
-            artifact["train"] = {"error": f"{type(e).__name__}: {e}"[:300]}
-        print(json.dumps(artifact["train"]), file=sys.stderr)
-        Path(args.out).write_text(json.dumps(artifact, indent=2) + "\n")
     print(f"wrote {args.out}", file=sys.stderr)
 
     if not args.no_readme and not args.quick:
