@@ -34,10 +34,16 @@ sys.path.insert(0, str(REPO))
 CFG = "configs/release/HO3D_HandMvNet_HR.yaml"
 
 # (stage, batch, views, dtype) — ordered so the cheapest/most isolating run
-# first. Stages: backbone | backbone_nopack | full | mesh | scan10
+# first. Stages: backbone | backbone_nopack | tokens | fuse | full | mesh |
+# scan10. "tokens"/"fuse" split the full forward at the model's own
+# view-parallel seam (HandMvNet stage= kwarg): tokens = backbone + pose_net
+# + soft-argmax + SampleNets + encodings; fuse = attention fusion + GCN
+# decoder on a synthetic [b, v*21, feat] tensor.
 BASE_PROBES = [
     "backbone:b8v5:bf16",
     "backbone_nopack:b8v5:bf16",
+    "tokens:b8v5:bf16",
+    "fuse:b8v5:bf16",
     "full:b8v5:bf16",
     "mesh:b8v5:bf16",
     "scan10:b8v5:bf16",
@@ -50,7 +56,11 @@ def _parse_probe(spec: str):
     stage, shape, dt = spec.split(":")
     batch = int(shape.split("v")[0][1:])
     views = int(shape.split("v")[1])
-    return stage, batch, views, dt
+    cfg_path = CFG
+    if stage.endswith("_wocam"):  # drop the crop-FoV encoding (pos2d+sin only)
+        stage = stage[: -len("_wocam")]
+        cfg_path = "configs/release/HO3D_HandMvNet_HR_wo_cam.yaml"
+    return stage, batch, views, dt, cfg_path
 
 
 def run_probe(spec: str, platform: str = "") -> None:
@@ -66,10 +76,10 @@ def run_probe(spec: str, platform: str = "") -> None:
     from bench import _random_variables
     from handmvnet_tpu.config import Config
 
-    stage, batch, views, dt = _parse_probe(spec)
+    stage, batch, views, dt, cfg_path = _parse_probe(spec)
     dtype = jnp.bfloat16 if dt == "bf16" else jnp.float32
 
-    cfg = Config.from_yaml(REPO / CFG)
+    cfg = Config.from_yaml(REPO / cfg_path)
     cfg = cfg.replace(model=dataclasses.replace(
         cfg.model, selected_views=tuple(range(views))
     ))
@@ -94,6 +104,31 @@ def run_probe(spec: str, platform: str = "") -> None:
     from handmvnet_tpu.models import HandMvNet
 
     model = HandMvNet(cfg=cfg.model)
+
+    if stage == "fuse":
+        # fusion + decoder only, on a synthetic token tensor at the exact
+        # shape the full forward produces (HRNet-w40 with-cam: 312 feat)
+        feat_dim = (sum(cfg.model.backbone_channels) // 2
+                    + (2 if "pos2d" in cfg.model.pos_enc else 0)
+                    + (10 if "crop" in cfg.model.pos_enc else 0))
+        tokens = (jax.random.normal(
+            jax.random.PRNGKey(3), (batch, views * 21, feat_dim),
+            jnp.float32) * 0.05).astype(dtype)
+
+        class _FuseInit:  # adapt model.init to the fuse-stage signature
+            def init(self, key, t):
+                return model.init(key, t, stage="fuse")
+
+        variables = _random_variables(_FuseInit(), 1, tokens)
+        if dtype == jnp.bfloat16:
+            variables = jax.tree.map(
+                lambda a: a.astype(dtype) if a.dtype == jnp.float32 else a,
+                variables,
+            )
+        fn = jax.jit(lambda v, t: model.apply(v, t, stage="fuse"))
+        res = fn(variables, tokens)
+        print("VALUE", float(res[(0,) * res.ndim]))
+        return
     b = synthetic_batch(batch_size=batch, num_views=views,
                         with_heatmaps=False, seed=0)
     rgb = jnp.asarray(b["rgb"], dtype)
@@ -105,6 +140,43 @@ def run_probe(spec: str, platform: str = "") -> None:
             lambda a: a.astype(dtype) if a.dtype == jnp.float32 else a,
             variables,
         )
+
+    if stage == "tokens":
+        fn = jax.jit(
+            lambda v, r, bb, it: model.apply(v, r, bb, it, stage="tokens")["tokens"]
+        )
+        res = fn(variables, rgb, bboxes, intr)
+        print("VALUE", float(res[(0,) * res.ndim]))
+        return
+
+    if stage in ("heat", "coords"):
+        # backbone + pose_net head (heat), optionally + soft-argmax (coords):
+        # the increments between the passing "backbone" probe and the
+        # crashing "tokens" probe. A subclass overriding __call__ keeps the
+        # explicit submodule names, so the full-forward variables resolve.
+        from flax import linen as nn
+
+        from handmvnet_tpu.ops.heatmap import soft_argmax_2d
+
+        class TrunkSlice(HandMvNet):
+            upto: str = "heat"
+
+            @nn.compact
+            def __call__(self, xv):  # noqa: D102 - probe-only slice
+                feats = self._backbone_features(xv, False)
+                hm = self._pose_net(feats[0], False)
+                if self.upto == "heat":
+                    return hm
+                hm_jf = jnp.moveaxis(hm, -1, 1)
+                sa_dtype = jnp.promote_types(hm_jf.dtype, jnp.float32)
+                return soft_argmax_2d(hm_jf.astype(sa_dtype))
+
+        probe_model = TrunkSlice(cfg=cfg.model, upto=stage)
+        xv = rgb.reshape((batch * views,) + rgb.shape[2:])
+        fn = jax.jit(lambda v, x: probe_model.apply(v, x))
+        res = fn(variables, xv)
+        print("VALUE", float(res[(0,) * res.ndim]))
+        return
 
     j2v = None
     if stage in ("mesh", "scan10"):
