@@ -86,6 +86,10 @@ class ModelConfig:
     # branch convs (models/backbones/hrnet.py HRModule._branch_grouped).
     # Opt-in pending the on-chip probe verdict (BRANCH_PACKING_PROBE.json).
     hrnet_branch_grouped: bool = False
+    # exact space-to-depth rewrite of the ResNet 7x7/s2 stem conv (same
+    # math, 4x MXU lane fill — resnet.SpaceToDepthStem). Default on; flip
+    # off to run the textbook stride-2 conv.
+    resnet_stem_s2d: bool = True
 
     @property
     def num_views(self) -> int:

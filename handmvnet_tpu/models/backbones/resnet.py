@@ -16,9 +16,62 @@ from __future__ import annotations
 from typing import Any, Dict
 
 import jax
+import jax.numpy as jnp
 from flax import linen as nn
+from jax import lax
 
 from handmvnet_tpu.models.layers import batch_norm, conv, max_pool_3x3_s2
+
+
+class SpaceToDepthStem(nn.Module):
+    """The 7x7/stride-2 stem conv, computed as an exact 4x4/stride-1 conv
+    over a 2x2 space-to-depth input (3 -> 12 channels).
+
+    The plain stem is the worst kernel on a TPU: 3 input channels fill
+    3/128 MXU lanes, and the flagship trace measured it at 347 us/frame =
+    22% of the whole 8-view forward at ~9 TFLOP/s (TRACE_ANALYSIS.json,
+    fusion.1992). The rewrite is the standard TPU conv0 transform: each
+    output tap n = 2p+u-3 of the stride-2 7x7 conv is reindexed as
+    n = 2(p+a-2)+r with phase r in {0,1}, turning it into a stride-1 4x4
+    conv over the half-res grid with 12 = 2*2*3 phase-expanded channels —
+    identical arithmetic (same products, same zero padding), 4x the lane
+    fill. Weights stay stored as the torch-layout [7,7,3,F] kernel under
+    the same ``conv1/kernel`` path, so checkpoints are unaffected; the
+    reindexing folds into a trace-time constant.
+    """
+
+    features: int = 64
+
+    @nn.compact
+    def __call__(self, x: jax.Array) -> jax.Array:
+        kernel = self.param(
+            "kernel",
+            nn.initializers.lecun_normal(),
+            (7, 7, 3, self.features),
+            jnp.float32,
+        )
+        kernel = kernel.astype(x.dtype)
+        n, h, w, c = x.shape
+        if h % 2 or w % 2:  # odd spatial: fall back to the plain conv
+            return lax.conv_general_dilated(
+                x, kernel, window_strides=(2, 2),
+                padding=((3, 3), (3, 3)),
+                dimension_numbers=("NHWC", "HWIO", "NHWC"),
+            )
+        # weights: pad the tap axis 7 -> 8 (u' = u+1; u'=0 is the zero tap),
+        # then split u' = 2a+r, v' = 2b+s and merge (r, s, c) into channels
+        f = self.features
+        w2 = jnp.pad(kernel, ((1, 0), (1, 0), (0, 0), (0, 0)))
+        w2 = w2.reshape(4, 2, 4, 2, 3, f).transpose(0, 2, 1, 3, 4, 5)
+        w2 = w2.reshape(4, 4, 12, f)
+        # input: 2x2 space-to-depth with matching (r, s, c) channel order
+        y = x.reshape(n, h // 2, 2, w // 2, 2, c)
+        y = y.transpose(0, 1, 3, 2, 4, 5).reshape(n, h // 2, w // 2, 4 * c)
+        return lax.conv_general_dilated(
+            y, w2, window_strides=(1, 1),
+            padding=((2, 1), (2, 1)),
+            dimension_numbers=("NHWC", "HWIO", "NHWC"),
+        )
 
 
 class BasicBlock(nn.Module):
@@ -89,6 +142,7 @@ class ResNetBackbone(nn.Module):
     early_return: int = 3
     frozen_bn: bool = False
     remat: bool = False  # rematerialize blocks in backward (trades FLOPs for HBM)
+    stem_s2d: bool = True  # exact space-to-depth rewrite of the 7x7/s2 stem
 
     @property
     def variant(self) -> str:
@@ -107,8 +161,11 @@ class ResNetBackbone(nn.Module):
         expansion = 1 if block_kind == "basic" else 4
         bn_eval = (not train) or self.frozen_bn
 
-        h = nn.Conv(64, (7, 7), strides=(2, 2), padding=((3, 3), (3, 3)),
-                    use_bias=False, name="conv1", dtype=x.dtype)(x)
+        if self.stem_s2d:
+            h = SpaceToDepthStem(features=64, name="conv1")(x)
+        else:
+            h = nn.Conv(64, (7, 7), strides=(2, 2), padding=((3, 3), (3, 3)),
+                        use_bias=False, name="conv1", dtype=x.dtype)(x)
         h = batch_norm("bn1", x.dtype)(h, use_running_average=bn_eval)
         h = nn.relu(h)
         h = max_pool_3x3_s2(h)

@@ -66,6 +66,7 @@ class HandMvNet(nn.Module):
                 early_return=cfg.backbone_early_return,
                 frozen_bn=cfg.freeze_bn,
                 remat=self.remat,
+                stem_s2d=cfg.resnet_stem_s2d,
                 name="backbone",
             )(x, train=train)
             if isinstance(out, dict):
