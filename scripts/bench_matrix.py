@@ -460,8 +460,9 @@ def update_readme(artifact: dict) -> None:
         if "error" in r:
             lines.append(
                 f"| {r['backbone']} | {r['views']} | {r['batch']} "
-                f"| {r['dtype']} | — | — | — (see BENCH_MATRIX.json: "
-                f"worker crash at this shape) |"
+                f"| {r['dtype']} | — | — | — (worker crash at this shape; "
+                f"bisected to an XLA backend fault — see "
+                f"HRNET_V5B8_BISECT.json) |"
             )
             continue
         lines.append(

@@ -149,13 +149,16 @@ def run_probe(spec: str, platform: str = "") -> None:
         print("VALUE", float(res[(0,) * res.ndim]))
         return
 
-    if stage in ("heat", "coords"):
-        # backbone + pose_net head (heat), optionally + soft-argmax (coords):
-        # the increments between the passing "backbone" probe and the
-        # crashing "tokens" probe. A subclass overriding __call__ keeps the
-        # explicit submodule names, so the full-forward variables resolve.
+    if stage in ("heat", "coords", "sample", "sampletok"):
+        # backbone + pose_net head (heat), + soft-argmax (coords), + the
+        # per-level SampleNet gathers WITHOUT the pos2d/crop encodings or
+        # the [b, v*21, feat] reshape (sample): the increments between the
+        # passing "backbone" probe and the crashing "tokens" probe. A
+        # subclass overriding __call__ keeps the explicit submodule names,
+        # so the full-forward variables resolve.
         from flax import linen as nn
 
+        from handmvnet_tpu.models.nets import SampleNet
         from handmvnet_tpu.ops.heatmap import soft_argmax_2d
 
         class TrunkSlice(HandMvNet):
@@ -169,7 +172,20 @@ def run_probe(spec: str, platform: str = "") -> None:
                     return hm
                 hm_jf = jnp.moveaxis(hm, -1, 1)
                 sa_dtype = jnp.promote_types(hm_jf.dtype, jnp.float32)
-                return soft_argmax_2d(hm_jf.astype(sa_dtype))
+                coords = soft_argmax_2d(hm_jf.astype(sa_dtype)).astype(xv.dtype)
+                if self.upto == "coords":
+                    return coords
+                sampled = [
+                    SampleNet(out_channels=f.shape[-1] // 2,
+                              name=f"sample_nets_{i}")(f, coords, train=False)
+                    for i, f in enumerate(feats)
+                ]
+                toks = jnp.concatenate(sampled, axis=-1)
+                if self.upto == "sample":
+                    return toks
+                # sampletok: + the [b*v, j, f] -> [b, v*j, f] batch reshape
+                bv, j, fd = toks.shape
+                return toks.reshape(bv // views, views * j, fd)
 
         probe_model = TrunkSlice(cfg=cfg.model, upto=stage)
         xv = rgb.reshape((batch * views,) + rgb.shape[2:])

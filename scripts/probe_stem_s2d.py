@@ -46,28 +46,36 @@ def measure_model(stem_s2d: bool, views: int, frames: int, reps: int) -> dict:
     b = synthetic_batch(batch_size=1, num_views=views,
                         with_heatmaps=False, seed=0)
     rgb = jnp.asarray(b["rgb"], jnp.bfloat16)
-    bboxes = jnp.asarray(b["bbox"], jnp.float32)
-    intr = jnp.asarray(b["intrinsics"], jnp.float32)
+    bboxes = jnp.asarray(b["bboxes"])
+    intr = jnp.asarray(b["intrinsic"])
     variables = _random_variables(model, 1, rgb, bboxes, intr)
     variables = jax.tree.map(
         lambda a: a.astype(jnp.bfloat16) if a.dtype == jnp.float32 else a,
         variables,
     )
 
-    def scanned(v, r, bb, it):
-        def body(_, __):
+    # distinct per-iteration frames (bench.py's rgbK discipline): a scan
+    # whose body consumes the same operands every step is loop-invariant
+    # and XLA may hoist/CSE the whole forward out of the loop
+    key = jax.random.PRNGKey(7)
+    rgbK = rgb[None] + (
+        jax.random.normal(key, (frames,) + rgb.shape, jnp.float32) * 0.01
+    ).astype(rgb.dtype)
+
+    def scanned(v, rk, bb, it):
+        def body(_, r):
             out = model.apply(v, r, bb, it)
             return None, out["joints_cam"][0, 0, 0]
 
-        _, vals = jax.lax.scan(body, None, None, length=frames)
+        _, vals = jax.lax.scan(body, None, rk)
         return vals[-1]
 
     fn = jax.jit(scanned)
-    _ = float(fn(variables, rgb, bboxes, intr))  # compile + warm
+    _ = float(fn(variables, rgbK, bboxes, intr))  # compile + warm
     best = None
     for _ in range(reps):
         t0 = time.perf_counter()
-        val = float(fn(variables, rgb, bboxes, intr))
+        val = float(fn(variables, rgbK, bboxes, intr))
         dt = time.perf_counter() - t0
         best = dt if best is None or dt < best else best
         assert val == val, "NaN"
@@ -82,7 +90,8 @@ def measure_stem_only(stem_s2d: bool, views: int, frames: int,
     from handmvnet_tpu.models.backbones.resnet import SpaceToDepthStem
 
     rng = jax.random.PRNGKey(0)
-    x = jax.random.normal(rng, (views, 256, 256, 3), jnp.bfloat16)
+    # distinct input per scan step (see measure_model note on hoisting)
+    xk = jax.random.normal(rng, (frames, views, 256, 256, 3), jnp.bfloat16)
     k = (jax.random.normal(rng, (7, 7, 3, 64), jnp.float32) * 0.05)
 
     if stem_s2d:
@@ -96,19 +105,19 @@ def measure_stem_only(stem_s2d: bool, views: int, frames: int,
                 inp, kern.astype(inp.dtype), (2, 2), ((3, 3), (3, 3)),
                 dimension_numbers=("NHWC", "HWIO", "NHWC"))
 
-    def scanned(kern, inp):
-        def body(_, __):
+    def scanned(kern, inps):
+        def body(_, inp):
             return None, one(kern, inp).sum()
 
-        _, vals = jax.lax.scan(body, None, None, length=frames)
+        _, vals = jax.lax.scan(body, None, inps)
         return vals[-1]
 
     fn = jax.jit(scanned)
-    _ = float(fn(k, x))
+    _ = float(fn(k, xk))
     best = None
     for _ in range(reps):
         t0 = time.perf_counter()
-        _ = float(fn(k, x))
+        _ = float(fn(k, xk))
         dt = time.perf_counter() - t0
         best = dt if best is None or dt < best else best
     return {"us_per_call": round(best / frames * 1e6, 1)}
