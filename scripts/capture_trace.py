@@ -27,7 +27,7 @@ sys.path.insert(0, str(REPO))
 CFG = "configs/release/HO3D_HandMvNet.yaml"
 
 
-def _build(frames: int):
+def _build(frames: int, cfg_path: str = CFG):
     """The bench.py scan-probe graph at the flagship protocol (b=1, v=8,
     bf16, vertices on), compiled; returns (callable, args) where calling
     reads one scalar (a real execution barrier on this relay)."""
@@ -43,7 +43,7 @@ def _build(frames: int):
     from handmvnet_tpu.models.joints_to_vertices import joints_to_vertices_fn
     from handmvnet_tpu.models.mano import ManoLayer, synthetic_mano_model
 
-    cfg = Config.from_yaml(REPO / CFG)
+    cfg = Config.from_yaml(REPO / cfg_path)
     cfg = cfg.replace(model=dataclasses.replace(
         cfg.model, selected_views=tuple(range(8))))
     model = HandMvNet(cfg=cfg.model)
@@ -87,19 +87,22 @@ def main() -> None:
     parser = argparse.ArgumentParser()
     parser.add_argument("--logdir", default=str(REPO / "traces" / "flagship"))
     parser.add_argument("--frames", type=int, default=50)
+    parser.add_argument("--config", default=CFG,
+                        help="release config to trace (e.g. the HRNet one)")
     parser.add_argument("--out", default=str(REPO / "TRACE_CAPTURE.json"))
     args = parser.parse_args()
 
     record: dict = {"logdir": str(Path(args.logdir).relative_to(REPO)
                                   if str(args.logdir).startswith(str(REPO))
                                   else args.logdir),
-                    "frames": args.frames}
+                    "frames": args.frames,
+                    "config": args.config}
     t0 = time.time()
     try:
         import jax
 
         record["device"] = str(jax.devices()[0].device_kind)
-        run = _build(args.frames)
+        run = _build(args.frames, args.config)
         # warm up OUTSIDE the trace so the capture shows steady-state exec,
         # not compilation
         run()
