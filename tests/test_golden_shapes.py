@@ -137,3 +137,51 @@ def test_hrnet_branch_grouped_matches_plain():
     t_b, m_b = grouped.apply(v, x, True, mutable=["batch_stats"])
     for ai, bi in zip(t_a, t_b):
         assert float(jnp.max(jnp.abs(ai - bi))) == 0.0
+
+
+def test_resnet_stem_s2d_matches_plain_conv():
+    """The space-to-depth stem (resnet.SpaceToDepthStem) is an exact
+    algebraic rewrite of the 7x7/stride-2 conv — same products, same zero
+    padding, reindexed onto a half-res 12-channel grid for MXU lane fill.
+    Outputs must match the plain conv to float-reassociation noise at even
+    spatial sizes, and odd sizes must take the exact fallback. Whether it
+    is faster is measured on-chip (STEM_S2D_PROBE.json: 1.10x e2e)."""
+    import jax
+    import jax.numpy as jnp
+    from jax import lax
+
+    from handmvnet_tpu.models.backbones.resnet import SpaceToDepthStem
+
+    rng = jax.random.PRNGKey(5)
+    k = jax.random.normal(rng, (7, 7, 3, 64), jnp.float32) * 0.05
+    mod = SpaceToDepthStem(features=64)
+    for h, w in ((64, 64), (32, 48), (33, 48)):  # last: odd -> fallback
+        x = jax.random.normal(jax.random.fold_in(rng, h), (2, h, w, 3),
+                              jnp.float32)
+        ref = lax.conv_general_dilated(
+            x, k, (2, 2), ((3, 3), (3, 3)),
+            dimension_numbers=("NHWC", "HWIO", "NHWC"))
+        out = mod.apply({"params": {"kernel": k}}, x)
+        assert out.shape == ref.shape
+        rel = float(jnp.max(jnp.abs(out - ref))) / float(jnp.max(jnp.abs(ref)))
+        assert rel < 1e-6, f"{h}x{w}: rel={rel}"
+
+
+def test_resnet_stem_s2d_param_tree_unchanged():
+    """Flipping resnet_stem_s2d must not change the param tree (the same
+    conv1/kernel [7,7,3,64] path), so checkpoints convert identically."""
+    import jax
+    import jax.numpy as jnp
+
+    from handmvnet_tpu.models.backbones.resnet import ResNetBackbone
+
+    rng = jax.random.PRNGKey(0)
+    x = jnp.zeros((1, 64, 64, 3), jnp.float32)
+    v_on = ResNetBackbone(version="50_paper", stem_s2d=True).init(rng, x, False)
+    v_off = ResNetBackbone(version="50_paper", stem_s2d=False).init(rng, x, False)
+    assert jax.tree.structure(v_on) == jax.tree.structure(v_off)
+    a = v_on["params"]["conv1"]["kernel"]
+    b = v_off["params"]["conv1"]["kernel"]
+    assert a.shape == b.shape == (7, 7, 3, 64)
+    # identical init from the same key: the rewrite shares the initializer
+    assert float(jnp.max(jnp.abs(a - b))) == 0.0
