@@ -161,7 +161,14 @@ class ResNetBackbone(nn.Module):
         expansion = 1 if block_kind == "basic" else 4
         bn_eval = (not train) or self.frozen_bn
 
-        if self.stem_s2d:
+        # The s2d rewrite is exact at any shape but only FASTER at the
+        # 8-image stem batch (the b=1 v=8 flagship serving protocol):
+        # paired on-chip A/Bs measured 1.10-1.12x there and ~0.87-0.90x at
+        # 4/32/64 images (STEM_S2D_PROBE.json) — XLA's plain-conv lowering
+        # wins back at other row counts. The gate is static (shapes are
+        # trace-time constants), and both paths share the identical
+        # conv1/kernel [7,7,3,64] param.
+        if self.stem_s2d and x.shape[0] == 8:
             h = SpaceToDepthStem(features=64, name="conv1")(x)
         else:
             h = nn.Conv(64, (7, 7), strides=(2, 2), padding=((3, 3), (3, 3)),

@@ -29,7 +29,8 @@ import jax  # noqa: E402
 import jax.numpy as jnp  # noqa: E402
 
 
-def measure_model(stem_s2d: bool, views: int, frames: int, reps: int) -> dict:
+def measure_model(stem_s2d: bool, views: int, frames: int, reps: int,
+                  batch: int = 1) -> dict:
     from bench import _random_variables
     from handmvnet_tpu.config import Config
     from handmvnet_tpu.data.synthetic import synthetic_batch
@@ -43,7 +44,7 @@ def measure_model(stem_s2d: bool, views: int, frames: int, reps: int) -> dict:
     ))
     model = HandMvNet(cfg=cfg.model)
 
-    b = synthetic_batch(batch_size=1, num_views=views,
+    b = synthetic_batch(batch_size=batch, num_views=views,
                         with_heatmaps=False, seed=0)
     rgb = jnp.asarray(b["rgb"], jnp.bfloat16)
     bboxes = jnp.asarray(b["bboxes"])
@@ -80,8 +81,8 @@ def measure_model(stem_s2d: bool, views: int, frames: int, reps: int) -> dict:
         best = dt if best is None or dt < best else best
         assert val == val, "NaN"
     return {
-        "device_fps": round(frames / best, 1),
-        "ms_per_frame": round(best / frames * 1e3, 4),
+        "device_fps": round(batch * frames / best, 1),
+        "ms_per_frame": round(best / (batch * frames) * 1e3, 4),
     }
 
 
@@ -126,6 +127,8 @@ def measure_stem_only(stem_s2d: bool, views: int, frames: int,
 def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("--views", type=int, default=8)
+    ap.add_argument("--batch", type=int, default=1)
+    ap.add_argument("--skip-stem-only", action="store_true")
     ap.add_argument("--frames", type=int, default=50)
     ap.add_argument("--reps", type=int, default=3)
     ap.add_argument("--out", default=str(REPO / "STEM_S2D_PROBE.json"))
@@ -133,23 +136,29 @@ def main() -> None:
 
     out = {
         "protocol": (
-            f"flagship resnet50_paper {args.views} views batch 1 bf16, "
+            f"flagship resnet50_paper {args.views} views batch "
+            f"{args.batch} bf16, "
             f"{args.frames} frames/dispatch via lax.scan, scalar value "
             f"read, best of {args.reps}; stem-only rows scan the stem conv "
             f"alone on [{args.views},256,256,3]"
         ),
         "device": jax.devices()[0].device_kind,
     }
-    for name, fn in (
+    rows = [] if args.skip_stem_only else [
         ("stem_only_plain", lambda: measure_stem_only(False, args.views,
                                                       args.frames, args.reps)),
         ("stem_only_s2d", lambda: measure_stem_only(True, args.views,
                                                     args.frames, args.reps)),
+    ]
+    rows += [
         ("model_plain", lambda: measure_model(False, args.views,
-                                              args.frames, args.reps)),
+                                              args.frames, args.reps,
+                                              args.batch)),
         ("model_s2d", lambda: measure_model(True, args.views,
-                                            args.frames, args.reps)),
-    ):
+                                            args.frames, args.reps,
+                                            args.batch)),
+    ]
+    for name, fn in rows:
         try:
             out[name] = fn()
         except Exception as e:  # noqa: BLE001

@@ -169,14 +169,17 @@ def test_resnet_stem_s2d_matches_plain_conv():
 
 def test_resnet_stem_s2d_param_tree_unchanged():
     """Flipping resnet_stem_s2d must not change the param tree (the same
-    conv1/kernel [7,7,3,64] path), so checkpoints convert identically."""
+    conv1/kernel [7,7,3,64] path), so checkpoints convert identically —
+    including at the 8-image stem batch where the gate actually engages
+    the rewrite (other row counts statically take the plain conv, where it
+    measured faster — STEM_S2D_PROBE.json)."""
     import jax
     import jax.numpy as jnp
 
     from handmvnet_tpu.models.backbones.resnet import ResNetBackbone
 
     rng = jax.random.PRNGKey(0)
-    x = jnp.zeros((1, 64, 64, 3), jnp.float32)
+    x = jnp.zeros((8, 64, 64, 3), jnp.float32)  # 8 rows -> gate engages
     v_on = ResNetBackbone(version="50_paper", stem_s2d=True).init(rng, x, False)
     v_off = ResNetBackbone(version="50_paper", stem_s2d=False).init(rng, x, False)
     assert jax.tree.structure(v_on) == jax.tree.structure(v_off)
@@ -185,3 +188,11 @@ def test_resnet_stem_s2d_param_tree_unchanged():
     assert a.shape == b.shape == (7, 7, 3, 64)
     # identical init from the same key: the rewrite shares the initializer
     assert float(jnp.max(jnp.abs(a - b))) == 0.0
+    # and the gated-path output equals the plain path to reassociation noise
+    xr = jax.random.normal(rng, (8, 64, 64, 3), jnp.float32)
+    y_on = ResNetBackbone(version="50_paper", stem_s2d=True).apply(
+        v_on, xr, False)
+    y_off = ResNetBackbone(version="50_paper", stem_s2d=False).apply(
+        v_on, xr, False)
+    rel = float(jnp.max(jnp.abs(y_on - y_off))) / float(jnp.max(jnp.abs(y_off)))
+    assert rel < 1e-5, rel
