@@ -124,6 +124,11 @@ class Bottleneck(nn.Module):
         return nn.relu(out + residual)
 
 
+# stem-image-batch row counts where the s2d rewrite measured FASTER than
+# the plain 7x7/s2 lowering (paired on-chip A/Bs, STEM_S2D_PROBE.json):
+# 8 rows (b1 x v8 flagship) wins 1.10-1.12x; 4/32/64 rows lose ~10%.
+STEM_S2D_ROWS = (8,)
+
 _LAYOUTS = {
     "18": ("basic", (2, 2, 2, 2)),
     "34": ("basic", (3, 4, 6, 3)),
@@ -167,8 +172,9 @@ class ResNetBackbone(nn.Module):
         # 4/32/64 images (STEM_S2D_PROBE.json) — XLA's plain-conv lowering
         # wins back at other row counts. The gate is static (shapes are
         # trace-time constants), and both paths share the identical
-        # conv1/kernel [7,7,3,64] param.
-        if self.stem_s2d and x.shape[0] == 8:
+        # conv1/kernel [7,7,3,64] param. STEM_S2D_ROWS is module-level so
+        # measurement probes can patch it to force either path per shape.
+        if self.stem_s2d and x.shape[0] in STEM_S2D_ROWS:
             h = SpaceToDepthStem(features=64, name="conv1")(x)
         else:
             h = nn.Conv(64, (7, 7), strides=(2, 2), padding=((3, 3), (3, 3)),

@@ -36,6 +36,12 @@ def measure_model(stem_s2d: bool, views: int, frames: int, reps: int,
     from handmvnet_tpu.data.synthetic import synthetic_batch
     from handmvnet_tpu.models import HandMvNet
 
+    from handmvnet_tpu.models.backbones import resnet
+
+    # force the gate open for the measured shape, so stem_s2d=True really
+    # compares the rewrite even at row counts outside the shipped gate
+    resnet.STEM_S2D_ROWS = (batch * views,)
+
     cfg = Config.from_yaml(REPO / "configs/release/HO3D_HandMvNet.yaml")
     cfg = cfg.replace(model=dataclasses.replace(
         cfg.model,
