@@ -92,6 +92,8 @@ def main() -> None:
     parser.add_argument("--out", default=str(REPO / "TRACE_CAPTURE.json"))
     args = parser.parse_args()
 
+    # resolve early: a relative --logdir otherwise breaks relative_to(REPO)
+    args.logdir = str(Path(args.logdir).resolve())
     record: dict = {"logdir": str(Path(args.logdir).relative_to(REPO)
                                   if str(args.logdir).startswith(str(REPO))
                                   else args.logdir),
