@@ -137,7 +137,36 @@ def run_protocol(cfg, args, dtype_name: str) -> tuple[float, float, float, dict]
             return joints, j2v(joints * 1000.0)
         return joints, out["joints_crop_img"]
 
-    compiled = jax.jit(step).lower(variables, rgb, bboxes, intr).compile()
+    # Known XLA-TPU fault shape (hrnet, v5, b8): the unscanned dispatch
+    # crashes the worker (HRNET_V5B8_BISECT.json), so the per-call protocol
+    # runs the bisect's measured-clean workaround — `split` sub-dispatches
+    # per frame-batch. The scan path below is unaffected (measured clean in
+    # both dtypes) and stays unguarded.
+    from handmvnet_tpu.shape_guard import forward_batch_split, warn_split
+
+    split = forward_batch_split(
+        cfg.model.backbone, args.views, args.batch, jax.devices()[0].platform
+    )
+    if split > 1:
+        warn_split("bench per-call protocol", cfg.model.backbone, args.views,
+                   args.batch, split)
+        c = args.batch // split
+        sub = [
+            (rgb[i * c:(i + 1) * c], bboxes[i * c:(i + 1) * c],
+             intr[i * c:(i + 1) * c])
+            for i in range(split)
+        ]
+        aot = jax.jit(step).lower(variables, *sub[0]).compile()
+
+        def compiled(variables, *_ignored):
+            # all call sites pass the same full-batch arrays; the guard uses
+            # the pre-split chunks (two dispatches of batch/2 each)
+            for s in sub:
+                res = aot(variables, *s)
+            return res
+    else:
+        aot = jax.jit(step).lower(variables, rgb, bboxes, intr).compile()
+        compiled = aot
 
     def read_barrier(res) -> float:
         # scalar read of one output element — see measure() for why this is
@@ -213,12 +242,20 @@ def run_protocol(cfg, args, dtype_name: str) -> tuple[float, float, float, dict]
     # achieved compute rate: XLA's own FLOP count for one forward dispatch,
     # divided out per frame — makes the speed-of-light claim checkable in
     # the artifact (VERDICT r3 #8) rather than prose
-    flops_call = compiled_flops(compiled)
+    flops_call = compiled_flops(aot)
+    if flops_call and split > 1:
+        flops_call *= split  # one protocol call = `split` sub-dispatches
     stats = {}
     if flops_call:
         flops_frame = flops_call / args.batch
         stats["gflops_per_frame"] = round(flops_frame / 1e9, 2)
         stats["achieved_tflops"] = round(flops_frame * device_fps / 1e12, 2)
+    if split > 1:
+        stats["v5b8_guard"] = (
+            f"per-call dispatch split {split}x{args.batch // split} — known "
+            "XLA TPU fault shape (HRNET_V5B8_BISECT.json); scan/device_fps "
+            "path measured clean and runs unsplit"
+        )
     if args.verbose:
         print(
             f"# device={jax.devices()[0]} dtype={dtype_name} views={args.views} "

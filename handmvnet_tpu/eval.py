@@ -86,6 +86,25 @@ def main(argv=None) -> None:
         vertices_fn = make_vertices_fn(cfg)
 
     eval_step = make_eval_step(model, cfg, mesh)
+
+    # Known XLA-TPU fault shape (hrnet, v5, b8): split the dispatch 2x4
+    # instead of crashing the worker (HRNET_V5B8_BISECT.json; shape_guard.py)
+    from handmvnet_tpu.shape_guard import (
+        forward_batch_split,
+        split_batch_step,
+        warn_split,
+    )
+
+    per_device = args.batch_size // usable  # what one dispatch shard sees
+    split = forward_batch_split(
+        cfg.model.backbone, cfg.model.num_views, per_device,
+        jax.devices()[0].platform,
+    )
+    if split > 1:
+        warn_split("eval", cfg.model.backbone, cfg.model.num_views,
+                   per_device, split)
+        eval_step = split_batch_step(eval_step, split)
+
     val = evaluate(eval_step, state, val_loader, cfg, mode="val", vertices_fn=vertices_fn)
     write_results_json(ckpt_path.parent / "val.json", val)
     print("val:", {k: v for k, v in val.items() if "pck" not in k})

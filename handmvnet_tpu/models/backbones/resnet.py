@@ -174,7 +174,11 @@ class ResNetBackbone(nn.Module):
         # trace-time constants), and both paths share the identical
         # conv1/kernel [7,7,3,64] param. STEM_S2D_ROWS is module-level so
         # measurement probes can patch it to force either path per shape.
-        if self.stem_s2d and x.shape[0] in STEM_S2D_ROWS:
+        # Eval-only: every probe was eval-time, and gating on (not train)
+        # means training computes the stem through ONE lowering at every
+        # microbatch shape — no float-reassociation noise sneaking into a
+        # training run whose microbatch happens to hit 8 stem rows.
+        if self.stem_s2d and not train and x.shape[0] in STEM_S2D_ROWS:
             h = SpaceToDepthStem(features=64, name="conv1")(x)
         else:
             h = nn.Conv(64, (7, 7), strides=(2, 2), padding=((3, 3), (3, 3)),

@@ -1,6 +1,7 @@
 from handmvnet_tpu.parallel.mesh import make_mesh  # noqa: F401
 from handmvnet_tpu.parallel.view_parallel import (  # noqa: F401
     make_inference_mesh,
+    make_replication_check,
     make_view_parallel_forward,
     view_data_sharding,
 )

@@ -130,3 +130,61 @@ def make_view_parallel_forward(
         return sharded(variables, rgb, bboxes, intrinsic)
 
     return jax.jit(checked)
+
+
+def make_replication_check(
+    model, mesh: Mesh, compute_dtype: str = "float32"
+) -> Callable:
+    """Validation variant of make_view_parallel_forward that RETURNS each
+    view column's copy of joints_cam as [b, n_view, 21, 3] instead of
+    declaring replication.
+
+    make_view_parallel_forward's out_spec asserts joints_cam is replicated
+    over "view" with check_vma=False (VMA can't prove value equality across
+    a collective, so check_vma=True cannot express this). This function
+    makes the claim checkable where it runs: callers assert the columns are
+    bitwise equal (same program, same gathered tokens, replicated params).
+    Exercised by dryrun_multichip and tests/test_view_parallel.py.
+    """
+    n_view = mesh.shape[VIEW_AXIS]
+    n_data = mesh.shape[DATA_AXIS]
+
+    def local_fn(variables, rgb, bboxes, intrinsic):
+        if compute_dtype == "bfloat16":
+            rgb = rgb.astype(jnp.bfloat16)
+            variables = dict(variables)
+            variables["params"] = jax.tree.map(
+                lambda p: p.astype(jnp.bfloat16) if p.dtype == jnp.float32 else p,
+                variables["params"],
+            )
+        tk = model.apply(variables, rgb, bboxes, intrinsic, train=False,
+                         stage="tokens")
+        tokens = jax.lax.all_gather(tk["tokens"], VIEW_AXIS, axis=1, tiled=True)
+        joints_cam = model.apply(variables, tokens, train=False, stage="fuse")
+        out_dtype = jnp.promote_types(rgb.dtype, jnp.float32)
+        # expose this column's copy on a "view"-sharded axis
+        return joints_cam.astype(out_dtype)[:, None]
+
+    sharded = shard_map(
+        local_fn,
+        mesh=mesh,
+        in_specs=(P(), P(DATA_AXIS, VIEW_AXIS), P(DATA_AXIS, VIEW_AXIS),
+                  P(DATA_AXIS, VIEW_AXIS)),
+        out_specs=P(DATA_AXIS, VIEW_AXIS),
+        check_vma=False,
+    )
+
+    def checked(variables, rgb, bboxes, intrinsic):
+        if rgb.shape[1] % n_view:
+            raise ValueError(
+                f"num_views={rgb.shape[1]} must divide over the view mesh "
+                f"axis ({n_view})"
+            )
+        if rgb.shape[0] % n_data:
+            raise ValueError(
+                f"batch={rgb.shape[0]} must divide over the data mesh "
+                f"axis ({n_data})"
+            )
+        return sharded(variables, rgb, bboxes, intrinsic)
+
+    return jax.jit(checked)

@@ -38,6 +38,11 @@ def main() -> None:
     ap.add_argument("--frames", type=int, default=50,
                     help="frames per scanned dispatch in the captured run")
     ap.add_argument("--out", default=str(REPO / "TRACE_ANALYSIS.json"))
+    ap.add_argument("--module", default="scanned",
+                    help="substring of the traced jit module's name used to "
+                         "count dispatches (train capture: k_steps)")
+    ap.add_argument("--top", type=int, default=15,
+                    help="top-N kernels to record")
     args = ap.parse_args()
 
     paths = sorted(glob.glob(
@@ -82,7 +87,7 @@ def main() -> None:
         by_cat[categorize(e["name"])] += e["dur"]
 
     # frames in the trace = frames/dispatch x number of scanned dispatches
-    n_dispatch = sum(1 for m in mod_spans if "scanned" in m["name"])
+    n_dispatch = sum(1 for m in mod_spans if args.module in m["name"])
     frames = args.frames * max(n_dispatch, 1)
 
     artifact = {
@@ -104,7 +109,7 @@ def main() -> None:
                 "pct": round(100 * us / inner_us, 1),
                 "calls": calls[n],
             }
-            for n, us in by_name.most_common(15)
+            for n, us in by_name.most_common(args.top)
         ],
         "modules_ms": {k: round(v / 1e3, 2) for k, v in mod_us.items()},
     }

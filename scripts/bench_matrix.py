@@ -343,6 +343,37 @@ def main() -> None:
         print(json.dumps(train_result), file=sys.stderr)
 
     rows = []
+
+    def write_artifact() -> dict:
+        # incremental: written after the train measurement and after every
+        # row, so an uncaught hang (the documented jax.devices()-never-
+        # returns crash mode) loses at most the row in flight, never the
+        # already-measured figures (ADVICE r4)
+        artifact = {
+            "protocol": (
+                "eval_fps generalized (reference src/eval_fps.py:69-97): synthetic "
+                f"256^2 frames, warmup 30, {iters} timed iters, forward + on-device "
+                "MANO IK/LBS mesh stage in the timed region; per-call FPS uses "
+                "chunked scalar-value-read barriers (best of 3), device_fps is "
+                "50 (batch 1) / 10 (batch 8) frames/dispatch via lax.scan "
+                "(relay-RPC amortized; batch 8 capped to fit HBM)"
+            ),
+            "device": device_str,
+            "baseline_fps": 48.0,
+            "quick": bool(args.quick),
+            "rows": rows,
+        }
+        if train_result is not None:
+            artifact["train"] = train_result
+        Path(args.out).write_text(json.dumps(artifact, indent=2) + "\n")
+        return artifact
+
+    # in --isolate mode the parent never touches the backend itself: a hung
+    # backend must not stall the artifact write after the rows ran (children
+    # report their own failures); probe it once in a bounded child
+    device_str = _device_string(args)
+    write_artifact()
+
     combo_idx = 0
     for backbone, cfg_path in BACKBONES.items():
         cfg = Config.from_yaml(REPO / cfg_path)
@@ -420,28 +451,10 @@ def main() -> None:
                             row["error"] = f"{type(e).__name__}: {e}"[:300]
                     row["wall_s"] = round(time.time() - t0, 1)
                     rows.append(row)
+                    write_artifact()
                     print(json.dumps(row), file=sys.stderr)
 
-    artifact = {
-        "protocol": (
-            "eval_fps generalized (reference src/eval_fps.py:69-97): synthetic "
-            f"256^2 frames, warmup 30, {iters} timed iters, forward + on-device "
-            "MANO IK/LBS mesh stage in the timed region; per-call FPS uses "
-            "chunked scalar-value-read barriers (best of 3), device_fps is "
-            "50 (batch 1) / 10 (batch 8) frames/dispatch via lax.scan "
-            "(relay-RPC amortized; batch 8 capped to fit HBM)"
-        ),
-        # in --isolate mode the parent never touches the backend itself: a
-        # hung backend must not stall the artifact write after the rows ran
-        # (children report their own failures); probe it in a bounded child
-        "device": _device_string(args),
-        "baseline_fps": 48.0,
-        "quick": bool(args.quick),
-        "rows": rows,
-    }
-    if train_result is not None:
-        artifact["train"] = train_result
-    Path(args.out).write_text(json.dumps(artifact, indent=2) + "\n")
+    artifact = write_artifact()
     print(f"wrote {args.out}", file=sys.stderr)
 
     if not args.no_readme and not args.quick:
@@ -458,11 +471,17 @@ def update_readme(artifact: dict) -> None:
     ]
     for r in artifact["rows"]:
         if "error" in r:
+            # only the bisected shape gets the bisect attribution; any other
+            # failing row must not inherit it (ADVICE r4)
+            key = (r["backbone"], r["views"], r["batch"], r["dtype"])
+            if key == ("hrnet_w40", 5, 8, "bf16"):
+                why = ("worker crash at this shape; bisected to an XLA "
+                       "backend fault — see HRNET_V5B8_BISECT.json")
+            else:
+                why = "error at this shape — see BENCH_MATRIX.json"
             lines.append(
                 f"| {r['backbone']} | {r['views']} | {r['batch']} "
-                f"| {r['dtype']} | — | — | — (worker crash at this shape; "
-                f"bisected to an XLA backend fault — see "
-                f"HRNET_V5B8_BISECT.json) |"
+                f"| {r['dtype']} | — | — | — ({why}) |"
             )
             continue
         lines.append(

@@ -83,6 +83,67 @@ def _build(frames: int, cfg_path: str = CFG):
     return run
 
 
+def _build_train(steps: int, cfg_path: str = CFG, batch_size: int = 16,
+                 views: int = 5):
+    """The bench_matrix train device-throughput graph (HO3D recipe: bs16 x
+    v5, bf16 compute + fp32 master params, per-block remat, all loss terms
+    incl. g2d/p2d reprojection, AdamW + clip), K steps per dispatch via
+    lax.scan; calling reads one scalar loss (a real barrier). This is the
+    98.2 ms/step, 0.345-MFU path VERDICT r4 #1 wants attributed.
+    Reference path being traced: src/models/handmvnet.py:443-466 + :268-277.
+    """
+    import dataclasses
+
+    import jax
+
+    from handmvnet_tpu.config import Config
+    from handmvnet_tpu.data.synthetic import synthetic_batch
+    from handmvnet_tpu.models import HandMvNet
+    from handmvnet_tpu.parallel import (
+        create_train_state,
+        make_mesh,
+        make_optimizer,
+        make_train_step,
+    )
+    from handmvnet_tpu.parallel.mesh import data_sharding
+
+    cfg = Config.from_yaml(REPO / cfg_path)
+    cfg = cfg.replace(
+        train=dataclasses.replace(
+            cfg.train, compute_dtype="bfloat16", accumulate_batch=1
+        ),
+    )
+    model = HandMvNet(cfg=cfg.model, remat=True)
+    mesh = make_mesh()
+    batch = synthetic_batch(batch_size=batch_size, num_views=views, seed=0)
+    tx = make_optimizer(cfg, steps_per_epoch=100)
+    state = create_train_state(model, cfg, jax.random.PRNGKey(0), batch, tx=tx)
+    step = make_train_step(model, cfg, tx, mesh, accum_steps=1)
+    sharding = data_sharding(mesh)
+    dbatch = {k: jax.device_put(v, sharding) for k, v in batch.items()}
+    rng = jax.random.PRNGKey(1)
+
+    def k_steps(state, dbatch, rng):
+        def body(carry, _):
+            st, r = carry
+            r_step, r = jax.random.split(r)
+            st, losses = step(st, dbatch, r_step)
+            return (st, r), losses["loss"]
+
+        (st, _), ls = jax.lax.scan(body, (state, rng), None, length=steps)
+        return st, ls
+
+    # NOT donated: the traced run calls it twice (warmup + capture) with the
+    # same state buffers
+    compiled = jax.jit(k_steps).lower(state, dbatch, rng).compile()
+
+    def run() -> float:
+        st, ls = compiled(state, dbatch, rng)
+        return float(ls[-1])  # value read = barrier
+
+    return run
+
+
 def main() -> None:
     parser = argparse.ArgumentParser()
     parser.add_argument("--logdir", default=str(REPO / "traces" / "flagship"))
@@ -90,6 +151,10 @@ def main() -> None:
     parser.add_argument("--config", default=CFG,
                         help="release config to trace (e.g. the HRNet one)")
     parser.add_argument("--out", default=str(REPO / "TRACE_CAPTURE.json"))
+    parser.add_argument("--train", action="store_true",
+                        help="trace the TRAIN step (bs16 x v5 bf16 + remat, "
+                             "--frames steps per dispatch via lax.scan) "
+                             "instead of the inference forward")
     args = parser.parse_args()
 
     # resolve early: a relative --logdir otherwise breaks relative_to(REPO)
@@ -104,7 +169,11 @@ def main() -> None:
         import jax
 
         record["device"] = str(jax.devices()[0].device_kind)
-        run = _build(args.frames, args.config)
+        if args.train:
+            record["mode"] = "train"
+            run = _build_train(args.frames, args.config)
+        else:
+            run = _build(args.frames, args.config)
         # warm up OUTSIDE the trace so the capture shows steady-state exec,
         # not compilation
         run()

@@ -196,3 +196,25 @@ def test_resnet_stem_s2d_param_tree_unchanged():
         v_on, xr, False)
     rel = float(jnp.max(jnp.abs(y_on - y_off))) / float(jnp.max(jnp.abs(y_off)))
     assert rel < 1e-5, rel
+
+
+def test_resnet_stem_s2d_gate_is_eval_only():
+    """The s2d gate must not engage under train=True even at the 8-row
+    shape: every probe behind STEM_S2D_ROWS was eval-time, and an eval-only
+    gate guarantees a training run computes the stem through one lowering
+    at every microbatch shape (ADVICE r4: no reassociation noise when a
+    microbatch happens to hit 8 stem rows)."""
+    import jax
+    import jax.numpy as jnp
+
+    from handmvnet_tpu.models.backbones.resnet import ResNetBackbone
+
+    rng = jax.random.PRNGKey(2)
+    xr = jax.random.normal(rng, (8, 64, 64, 3), jnp.float32)
+    v = ResNetBackbone(version="50_paper", stem_s2d=False).init(rng, xr, True)
+    y_on, _ = ResNetBackbone(version="50_paper", stem_s2d=True).apply(
+        v, xr, True, mutable=["batch_stats"])
+    y_off, _ = ResNetBackbone(version="50_paper", stem_s2d=False).apply(
+        v, xr, True, mutable=["batch_stats"])
+    # bitwise: under train the flag selects the SAME program
+    assert float(jnp.max(jnp.abs(y_on - y_off))) == 0.0

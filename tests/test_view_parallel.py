@@ -62,6 +62,29 @@ def test_view_parallel_matches_single_device(setup, mesh_shape):
         rtol=1e-4, atol=1e-4)
 
 
+@pytest.mark.parametrize("mesh_shape", [(1, 2), (2, 2)])
+def test_joints_cam_replicated_across_view_shards(setup, mesh_shape):
+    """The forward's out_spec declares joints_cam replicated over "view"
+    under check_vma=False (VMA can't prove value equality across the token
+    all_gather). make_replication_check returns each view column's copy;
+    they must be BITWISE equal — the replication claim checked where it
+    runs (VERDICT r4 #8). Also exercised by dryrun_multichip."""
+    from handmvnet_tpu.parallel import make_replication_check
+
+    _, model, variables, inputs, ref = setup
+    mesh = make_inference_mesh(*mesh_shape)
+    sharding = view_data_sharding(mesh)
+    per_col = np.asarray(
+        make_replication_check(model, mesh)(
+            variables, *(jax.device_put(x, sharding) for x in inputs))
+    )
+    assert per_col.shape[1] == mesh_shape[1]
+    assert float(np.abs(per_col - per_col[:, :1]).max()) == 0.0
+    # and each column is the plain forward's answer
+    np.testing.assert_allclose(
+        per_col[:, 0], np.asarray(ref["joints_cam"]), rtol=1e-4, atol=1e-4)
+
+
 def test_view_parallel_bf16_smoke(setup):
     _, model, variables, inputs, _ = setup
     mesh = make_inference_mesh(1, 2)
