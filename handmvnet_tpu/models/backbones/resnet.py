@@ -17,10 +17,35 @@ from typing import Any, Dict
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 from flax import linen as nn
 from jax import lax
 
 from handmvnet_tpu.models.layers import batch_norm, conv, max_pool_3x3_s2
+
+
+# How the 2x2 space-to-depth input is produced (all EXACT, same conv1
+# param; A/B'd on chip — STEM_S2D_FUSE_PROBE.json):
+#   "transpose":     6-D reshape/transpose (round 4's shipping path; XLA
+#                    materializes it as copy kernels — TRACE_ANALYSIS_S2D
+#                    .json: ~90 us/frame of sub-lane relayout copies)
+#   "rowsplit":      H-phase row slices (row-granular, no lane shuffle) +
+#                    free trailing reshapes + channel concat that XLA can
+#                    fuse into the conv's input read
+#   "identity_conv": the shuffle as a [2,2,3,12] one-hot conv so it lands
+#                    on conv hardware instead of standalone copy kernels
+#   "pallas":        ops/pallas/stem.stem_s2d_fused — im2col in VMEM, one
+#                    MXU matmul; the shuffled layout never touches HBM
+# Module-level so measurement probes can patch it per shape.
+STEM_S2D_MODE = "transpose"
+
+# one-hot [2,2,3,12] space-to-depth kernel (channel order r*6+s*3+c), host
+# numpy: closure constants must never be device arrays (CLAUDE.md D2H rule)
+_S2D_EYE = np.zeros((2, 2, 3, 12), np.float32)
+for _r in range(2):
+    for _s in range(2):
+        for _c in range(3):
+            _S2D_EYE[_r, _s, _c, _r * 6 + _s * 3 + _c] = 1.0
 
 
 class SpaceToDepthStem(nn.Module):
@@ -37,7 +62,8 @@ class SpaceToDepthStem(nn.Module):
     identical arithmetic (same products, same zero padding), 4x the lane
     fill. Weights stay stored as the torch-layout [7,7,3,F] kernel under
     the same ``conv1/kernel`` path, so checkpoints are unaffected; the
-    reindexing folds into a trace-time constant.
+    reindexing folds into a trace-time constant. STEM_S2D_MODE selects how
+    the shuffled input is produced (see above).
     """
 
     features: int = 64
@@ -58,6 +84,10 @@ class SpaceToDepthStem(nn.Module):
                 padding=((3, 3), (3, 3)),
                 dimension_numbers=("NHWC", "HWIO", "NHWC"),
             )
+        if STEM_S2D_MODE == "pallas" and (h // 2) % 16 == 0:
+            from handmvnet_tpu.ops.pallas.stem import stem_s2d_fused
+
+            return stem_s2d_fused(x, kernel)
         # weights: pad the tap axis 7 -> 8 (u' = u+1; u'=0 is the zero tap),
         # then split u' = 2a+r, v' = 2b+s and merge (r, s, c) into channels
         f = self.features
@@ -65,8 +95,21 @@ class SpaceToDepthStem(nn.Module):
         w2 = w2.reshape(4, 2, 4, 2, 3, f).transpose(0, 2, 1, 3, 4, 5)
         w2 = w2.reshape(4, 4, 12, f)
         # input: 2x2 space-to-depth with matching (r, s, c) channel order
-        y = x.reshape(n, h // 2, 2, w // 2, 2, c)
-        y = y.transpose(0, 1, 3, 2, 4, 5).reshape(n, h // 2, w // 2, 4 * c)
+        if STEM_S2D_MODE == "rowsplit":
+            # row-granular H-phase slices + free trailing-dim merges; the
+            # channel concat is fusable into the conv's input read
+            xe = x[:, 0::2].reshape(n, h // 2, w // 2, 2 * c)
+            xo = x[:, 1::2].reshape(n, h // 2, w // 2, 2 * c)
+            y = jnp.concatenate([xe, xo], axis=-1)
+        elif STEM_S2D_MODE == "identity_conv":
+            y = lax.conv_general_dilated(
+                x, jnp.asarray(_S2D_EYE, x.dtype), window_strides=(2, 2),
+                padding="VALID",
+                dimension_numbers=("NHWC", "HWIO", "NHWC"),
+            )
+        else:  # "transpose"
+            y = x.reshape(n, h // 2, 2, w // 2, 2, c)
+            y = y.transpose(0, 1, 3, 2, 4, 5).reshape(n, h // 2, w // 2, 4 * c)
         return lax.conv_general_dilated(
             y, w2, window_strides=(1, 1),
             padding=((2, 1), (2, 1)),

@@ -37,7 +37,18 @@ sys.path.insert(0, str(REPO))
 BACKBONES = {
     "resnet50_paper": "configs/release/HO3D_HandMvNet.yaml",
     "hrnet_w40": "configs/release/HO3D_HandMvNet_HR.yaml",
+    # parity-tested second HRNet width (reference hardcodes both,
+    # src/models/backbones/hrnet.py:439-457); benched at the flagship
+    # protocol only (EXTRA_ROWS) to bound matrix wall time
+    "hrnet_w64": "configs/release/HO3D_HandMvNet_HR.yaml",
 }
+# the full {views} x {batch} x {dtype} product runs for these two:
+MATRIX_BACKBONES = ("resnet50_paper", "hrnet_w40")
+# extra single rows appended after the product (backbone, views, batch, dt)
+EXTRA_ROWS = (
+    ("hrnet_w64", 8, 1, "bf16"),
+    ("hrnet_w64", 8, 1, "fp32"),
+)
 # v5e bf16 matmul peak (public spec: 197 TFLOP/s bf16 per chip). MFU here is
 # achieved-FLOPs/peak with XLA's own FLOP count as numerator; fp32 rows use
 # the same denominator (the chip has no faster fp32 path), so their MFU
@@ -64,8 +75,11 @@ def bench_args(batch: int, views: int, iters: int, chunk: int):
     )
 
 
-def train_throughput(iters: int = 30) -> dict:
-    """DP train-step samples/sec at the flagship config (train_bench.py's
+def train_throughput(
+    iters: int = 30,
+    cfg_path: str = "configs/release/HO3D_HandMvNet.yaml",
+) -> dict:
+    """DP train-step samples/sec at the given recipe (train_bench.py's
     measurement, inlined so the matrix is one artifact)."""
     import jax
 
@@ -80,7 +94,7 @@ def train_throughput(iters: int = 30) -> dict:
     )
     from handmvnet_tpu.parallel.mesh import data_sharding
 
-    cfg = Config.from_yaml(REPO / "configs/release/HO3D_HandMvNet.yaml")
+    cfg = Config.from_yaml(REPO / cfg_path)
     cfg = cfg.replace(
         train=dataclasses.replace(
             cfg.train, compute_dtype="bfloat16", accumulate_batch=1
@@ -173,8 +187,12 @@ def run_row(spec: str, iters: int) -> None:
     backbone, v, b, dt = spec.split(":")
     v, b = int(v), int(b)
     cfg = Config.from_yaml(REPO / BACKBONES[backbone])
+    overrides: dict = {"selected_views": tuple(range(v))}
+    if backbone == "hrnet_w64":
+        overrides["backbone_type"] = "w64"
+        overrides["backbone_channels"] = (64, 128, 256, 512)
     bcfg = cfg.replace(
-        model=dataclasses.replace(cfg.model, selected_views=tuple(range(v)))
+        model=dataclasses.replace(cfg.model, **overrides)
     )
     a = bench_args(b, v, iters, chunk=min(100, iters))
     dtype = "bfloat16" if dt == "bf16" else "float32"
@@ -277,12 +295,19 @@ def main() -> None:
     args = parser.parse_args()
 
     if args.row:
-        if args.row == "train":
+        if args.row in ("train", "train_hrnet"):
             import jax
 
             jax.config.update("jax_compilation_cache_dir", "/tmp/jax_cache_handmvnet")
             jax.config.update("jax_persistent_cache_min_compile_time_secs", 2.0)
-            print(json.dumps(train_throughput(10 if args.quick else 30)))
+            cfg_path = (
+                "configs/release/HO3D_HandMvNet_HR.yaml"
+                if args.row == "train_hrnet"
+                else "configs/release/HO3D_HandMvNet.yaml"
+            )
+            print(json.dumps(
+                train_throughput(10 if args.quick else 30, cfg_path)
+            ))
         else:
             run_row(args.row, args.iters)
         return
@@ -310,37 +335,50 @@ def main() -> None:
     # everything that follows (measured: 162 samples/s healthy -> 22 in
     # round 3's post-crash window, 6.2 in round 4's). Train-first means a
     # worker crash can only poison rows that come after it, never this one.
-    train_result = None
-    if not args.skip_train:
+    train_results: dict = {}
+
+    def measure_train(row_name: str) -> None:
         try:
             if args.isolate:
                 import subprocess
 
                 cmd = [sys.executable, str(Path(__file__).resolve()),
-                       "--row", "train"]
+                       "--row", row_name]
                 if args.quick:
                     cmd.append("--quick")
                 proc = subprocess.run(cmd, capture_output=True, text=True,
                                       timeout=args.row_timeout)
                 if proc.returncode == 0:
                     try:
-                        train_result = json.loads(
+                        train_results[row_name] = json.loads(
                             proc.stdout.strip().splitlines()[-1]
                         )
                     except (IndexError, ValueError) as e:
-                        train_result = {
+                        train_results[row_name] = {
                             "error": f"unparseable child stdout: {e}"
                         }
                 else:
-                    train_result = {"error": (
+                    train_results[row_name] = {"error": (
                         f"rc={proc.returncode}: "
                         + (proc.stderr or proc.stdout).strip()[-250:]
                     )}
             else:
-                train_result = train_throughput(10 if args.quick else 30)
+                cfg_path = (
+                    "configs/release/HO3D_HandMvNet_HR.yaml"
+                    if row_name == "train_hrnet"
+                    else "configs/release/HO3D_HandMvNet.yaml"
+                )
+                train_results[row_name] = train_throughput(
+                    10 if args.quick else 30, cfg_path
+                )
         except Exception as e:  # noqa: BLE001
-            train_result = {"error": f"{type(e).__name__}: {e}"[:300]}
-        print(json.dumps(train_result), file=sys.stderr)
+            train_results[row_name] = {"error": f"{type(e).__name__}: {e}"[:300]}
+        print(row_name, json.dumps(train_results[row_name]), file=sys.stderr)
+
+    if not args.skip_train:
+        measure_train("train")
+        if not args.quick:
+            measure_train("train_hrnet")
 
     rows = []
 
@@ -363,8 +401,7 @@ def main() -> None:
             "quick": bool(args.quick),
             "rows": rows,
         }
-        if train_result is not None:
-            artifact["train"] = train_result
+        artifact.update(train_results)
         Path(args.out).write_text(json.dumps(artifact, indent=2) + "\n")
         return artifact
 
@@ -374,17 +411,21 @@ def main() -> None:
     device_str = _device_string(args)
     write_artifact()
 
+    combos = [
+        (backbone, v, b, dt)
+        for backbone in MATRIX_BACKBONES
+        for v in views
+        for b in batches
+        for dt in dtypes
+    ]
+    if not args.quick:
+        combos += [
+            (bb, v, b, "bfloat16" if dt == "bf16" else "float32")
+            for bb, v, b, dt in EXTRA_ROWS
+        ]
+
     combo_idx = 0
-    for backbone, cfg_path in BACKBONES.items():
-        cfg = Config.from_yaml(REPO / cfg_path)
-        for v in views:
-            bcfg = cfg.replace(
-                model=dataclasses.replace(
-                    cfg.model, selected_views=tuple(range(v))
-                )
-            )
-            for b in batches:
-                for dt in dtypes:
+    for backbone, v, b, dt in combos:
                     combo_idx += 1
                     if combo_idx <= args.skip:
                         continue
@@ -431,6 +472,14 @@ def main() -> None:
                             )
                     else:
                         try:
+                            overrides: dict = {"selected_views": tuple(range(v))}
+                            if backbone == "hrnet_w64":
+                                overrides["backbone_type"] = "w64"
+                                overrides["backbone_channels"] = (64, 128, 256, 512)
+                            cfg = Config.from_yaml(REPO / BACKBONES[backbone])
+                            bcfg = cfg.replace(
+                                model=dataclasses.replace(cfg.model, **overrides)
+                            )
                             fps, p50, device_fps, stats = run_protocol(bcfg, a := bench_args(b, v, iters, chunk=min(100, iters)), dt)
                             row.update(
                                 fps=round(fps, 1),
@@ -488,8 +537,11 @@ def update_readme(artifact: dict) -> None:
             f"| {r['backbone']} | {r['views']} | {r['batch']} | {r['dtype']} "
             f"| {r['fps']} | {r['blocking_p50_ms']} | {r['device_fps']} |"
         )
-    if "train" in artifact and "samples_per_sec" in artifact["train"]:
-        t = artifact["train"]
+    for key, label in (("train", "resnet50_paper"),
+                       ("train_hrnet", "hrnet_w40")):
+        t = artifact.get(key)
+        if not t or "samples_per_sec" not in t:
+            continue
         device_part = (
             f" **{t['device_sps']} samples/s device-sustained** "
             f"({t['device_step_ms']} ms/step, 10 steps/dispatch via "
@@ -499,7 +551,8 @@ def update_readme(artifact: dict) -> None:
             else f" **{t['samples_per_sec']} samples/s** ({t['step_ms']} ms/step)."
         )
         lines.append(
-            f"\nTrain step (DP, bs {t['batch']}, {t['views']} views, bf16):"
+            f"\nTrain step ({label}, DP, bs {t['batch']}, {t['views']} views, "
+            "bf16):"
             + device_part
             + (f" _{t['note']}_" if t.get("note") else "")
         )
