@@ -37,6 +37,14 @@ from handmvnet_tpu.models.layers import batch_norm, conv, max_pool_3x3_s2
 #   "pallas":        ops/pallas/stem.stem_s2d_fused — im2col in VMEM, one
 #                    MXU matmul; the shuffled layout never touches HBM
 # Module-level so measurement probes can patch it per shape.
+#
+# MEASURED (round 5, STEM_S2D_FUSE_PROBE.json): rowsplit 1.001x and
+# identity_conv 0.99x vs transpose end-to-end — the trace's ~6% copy
+# overhead is not harvestable at the XLA level; and the pallas kernel
+# crashes this Mosaic toolchain's compiler subprocess (minimal repro: any
+# non-lane-aligned trailing-dim split, [128,768]->[128,128,6]). Kept as
+# exactness-tested mechanisms (tests/test_stem_modes.py); production stays
+# "transpose".
 STEM_S2D_MODE = "transpose"
 
 # one-hot [2,2,3,12] space-to-depth kernel (channel order r*6+s*3+c), host

@@ -21,6 +21,16 @@ from shifted VMEM slices only, no per-element shuffles.
 Reference being accelerated: the reference's conv1 (torchvision ResNet
 stem, reference src/models/backbones/resnet.py:157) — exact math, same
 [7,7,3,64] checkpoint parameter.
+
+STATUS (round 5, STEM_S2D_FUSE_PROBE.json): NOT production-eligible on the
+current toolchain. The kernel is exact (tests/test_stem_modes.py, interpret
+mode incl. bf16/odd widths), but Mosaic's compiler subprocess crashes on
+its essential construct — a trailing-dim split to a non-lane-aligned minor
+dim (minimal repro: reshape [128,768] -> [128,128,6] crashes; the
+lane-aligned [128,768] -> [128,6,128] compiles). The im2col needs the
+(s,c)-minor view of q-major phase rows (csc=6 trailing), so no tile/layout
+tweak routes around it. Revisit when Mosaic gains sublane-granular
+relayouts.
 """
 
 from __future__ import annotations
@@ -53,15 +63,16 @@ def _stem_kernel(xe_ref, xo_ref, w_ref, o_ref, *, hout: int, wout: int,
     ve = padded(xe_ref)  # r = 0
     vo = padded(xo_ref)  # r = 1
 
-    def row_tile(t, _):
+    # statically unrolled over row tiles: Mosaic TC has no dynamic_slice on
+    # VMEM values (probed on the real chip, STEM_S2D_FUSE_PROBE.json), and
+    # with static p0 every tap shift is a plain static slice
+    for t in range(hout // P_TILE):
         p0 = t * P_TILE
         # P [P_TILE, Wout, 192]: concat over (a, r, b) of [P_TILE, Wout, csc]
         blocks = []
         for a in range(4):
             for v in (ve, vo):
-                va = jax.lax.dynamic_slice(
-                    v, (p0 + a, 0, 0), (P_TILE, wout + 3, csc)
-                )
+                va = v[p0 + a:p0 + a + P_TILE, :wout + 3, :]
                 for b in range(4):
                     blocks.append(va[:, b:b + wout, :])
         patches = jnp.concatenate(blocks, axis=-1)  # [P_TILE, Wout, 32*csc]
@@ -71,10 +82,7 @@ def _stem_kernel(xe_ref, xo_ref, w_ref, o_ref, *, hout: int, wout: int,
             dimension_numbers=(((1,), (0,)), ((), ())),
             preferred_element_type=jnp.float32,
         ).astype(o_ref.dtype)
-        o_ref[0, pl.ds(p0, P_TILE), :] = out.reshape(P_TILE, wout * f)
-        return _
-
-    jax.lax.fori_loop(0, hout // P_TILE, row_tile, None)
+        o_ref[0, p0:p0 + P_TILE, :] = out.reshape(P_TILE, wout * f)
 
 
 def _reorder_weights(kernel: jax.Array) -> jax.Array:

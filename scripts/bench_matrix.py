@@ -292,6 +292,13 @@ def main() -> None:
     parser.add_argument("--row", default="",
                         help="internal: run ONE row (backbone:views:batch:"
                              "dtype) and print its JSON")
+    parser.add_argument("--only", default="",
+                        help="comma-separated row specs (backbone:views:"
+                             "batch:dtype, plus the tokens 'train' / "
+                             "'train_hrnet') to (re-)measure; every other "
+                             "row/figure is kept from the existing --out "
+                             "artifact (selective re-runs without the "
+                             "hour-long full matrix)")
     args = parser.parse_args()
 
     if args.row:
@@ -337,6 +344,20 @@ def main() -> None:
     # worker crash can only poison rows that come after it, never this one.
     train_results: dict = {}
 
+    def _row_key(r: dict) -> str:
+        return f"{r['backbone']}:{r['views']}:{r['batch']}:{r['dtype']}"
+
+    only = set(s for s in args.only.split(",") if s)
+    only_rows = {s for s in only if s not in ("train", "train_hrnet")}
+    kept_rows: list = []
+    if only and Path(args.out).exists():
+        prev = json.loads(Path(args.out).read_text())
+        kept_rows = [r for r in prev.get("rows", [])
+                     if _row_key(r) not in only_rows]
+        for key in ("train", "train_hrnet"):
+            if key not in only and key in prev:
+                train_results[key] = prev[key]
+
     def measure_train(row_name: str) -> None:
         try:
             if args.isolate:
@@ -376,13 +397,16 @@ def main() -> None:
         print(row_name, json.dumps(train_results[row_name]), file=sys.stderr)
 
     if not args.skip_train:
-        measure_train("train")
-        if not args.quick:
+        if not only or "train" in only:
+            measure_train("train")
+        if not args.quick and (not only or "train_hrnet" in only):
             measure_train("train_hrnet")
 
-    rows = []
+    rows = list(kept_rows)
+    canon: dict = {}
 
     def write_artifact() -> dict:
+        rows.sort(key=lambda r: canon.get(_row_key(r), len(canon)))
         # incremental: written after the train measurement and after every
         # row, so an uncaught hang (the documented jax.devices()-never-
         # returns crash mode) loses at most the row in flight, never the
@@ -422,6 +446,21 @@ def main() -> None:
         combos += [
             (bb, v, b, "bfloat16" if dt == "bf16" else "float32")
             for bb, v, b, dt in EXTRA_ROWS
+        ]
+    # canonical matrix order, so merged (--only) artifacts keep a stable row
+    # ordering regardless of which subset was re-measured last
+    canon.update({
+        f"{bb}:{v}:{b}:{'bf16' if dt == 'bfloat16' else 'fp32'}": i
+        for i, (bb, v, b, dt) in enumerate(combos)
+    })
+    if only:
+        unknown = only_rows - set(canon)
+        if unknown:
+            parser.error(f"--only specs not in the matrix: {sorted(unknown)}")
+        combos = [
+            c for c in combos
+            if f"{c[0]}:{c[1]}:{c[2]}:{'bf16' if c[3] == 'bfloat16' else 'fp32'}"
+            in only_rows
         ]
 
     combo_idx = 0

@@ -142,8 +142,13 @@ def main() -> None:
     ap.add_argument("--frames", type=int, default=50)
     ap.add_argument("--reps", type=int, default=3)
     ap.add_argument("--skip-stem-only", action="store_true")
+    ap.add_argument("--modes", default=",".join(MODES),
+                    help="comma-separated subset to (re-)measure; existing "
+                         "rows in --out are kept (selective re-runs after a "
+                         "kernel fix)")
     ap.add_argument("--out", default=str(REPO / "STEM_S2D_FUSE_PROBE.json"))
     args = ap.parse_args()
+    modes = tuple(m for m in args.modes.split(",") if m)
 
     jax.config.update("jax_compilation_cache_dir", "/tmp/jax_cache_handmvnet")
     jax.config.update("jax_persistent_cache_min_compile_time_secs", 2.0)
@@ -157,8 +162,12 @@ def main() -> None:
         ),
         "device": jax.devices()[0].device_kind,
     }
+    if Path(args.out).exists():
+        prev = json.loads(Path(args.out).read_text())
+        out.update({k: v for k, v in prev.items()
+                    if k not in ("protocol", "device")})
     if not args.skip_stem_only:
-        for mode in (None,) + MODES:
+        for mode in (None,) + modes:
             name = f"stem_only_{mode or 'plain'}"
             try:
                 out[name] = measure_stem_only(mode, args.views, args.frames,
@@ -167,7 +176,7 @@ def main() -> None:
                 out[name] = {"error": f"{type(e).__name__}: {e}"[:300]}
             print(name, json.dumps(out[name]), file=sys.stderr)
             Path(args.out).write_text(json.dumps(out, indent=2) + "\n")
-    for mode in MODES:
+    for mode in modes:
         name = f"model_{mode}"
         try:
             out[name] = measure_model(mode, args.views, args.frames,

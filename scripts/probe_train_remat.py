@@ -189,6 +189,10 @@ def main() -> None:
     p.add_argument("--iters", type=int, default=3)
     p.add_argument("--timeout", type=float, default=1500.0)
     p.add_argument("--one", default="", help="internal: run ONE variant")
+    p.add_argument("--variants", default=",".join(VARIANTS),
+                   help="comma-separated subset to (re-)measure; rows already "
+                        "in --out for other variants are kept (selective "
+                        "re-runs, e.g. after a baseline-only session)")
     p.add_argument("--out", default=str(REPO / "TRAIN_REMAT_PROBE.json"))
     args = p.parse_args()
 
@@ -203,8 +207,13 @@ def main() -> None:
                                        args.iters)))
         return
 
+    selected = [v for v in args.variants.split(",") if v]
     results = []
-    for name in VARIANTS:  # baseline first: reproduce before experimenting
+    if Path(args.out).exists():  # keep rows not being re-measured
+        prev = json.loads(Path(args.out).read_text()).get("results", [])
+        results = [r for r in prev if r.get("variant") not in selected]
+    for name in (n for n in VARIANTS if n in selected):
+        # baseline-first order: reproduce before experimenting
         r = run_variant_subprocess(name, args.steps, args.iters, args.timeout)
         results.append(r)
         print(json.dumps(r), file=sys.stderr)
