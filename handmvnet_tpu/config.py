@@ -137,6 +137,11 @@ class TrainConfig:
     # TPU-specific knobs (not in the reference schema)
     compute_dtype: str = "float32"  # "bfloat16" for speed, "float32" for parity
     num_devices: int = 0  # 0 = use all available
+    # Backbone-block rematerialization in the train step: "auto" applies the
+    # measured policy (TRAIN_REMAT_PROBE.json: remat-free is ~24% faster and
+    # fits one v5e at the release recipes — parallel.resolve_remat), "on" /
+    # "off" force it.
+    remat: str = "auto"
 
 
 @dataclass(frozen=True)

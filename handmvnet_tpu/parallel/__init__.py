@@ -12,4 +12,5 @@ from handmvnet_tpu.parallel.train_step import (  # noqa: F401
     make_lr_schedule,
     make_train_step,
     make_eval_step,
+    resolve_remat,
 )

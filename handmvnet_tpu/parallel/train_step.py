@@ -139,6 +139,37 @@ def _forward_loss(model, cfg: Config, params, batch_stats, batch, rng):
     return losses["loss"], (mutated["batch_stats"], losses, out)
 
 
+# Measured remat-free anchors (TRAIN_REMAT_PROBE.json, bf16, one 16 GB v5e):
+# at the release recipe (global batch 16 x 5 views = 80 images/step) the
+# compiler's own memory plan for the remat-FREE step is 6.85 GB
+# (resnet50_paper) — comfortably inside the 13.5 GB budget — and dropping
+# remat measures 101.1 -> 81.5 ms/step (+24% throughput; +28% with the
+# reference's accum=2). Round 2's "exceeds one chip's HBM" assumption was
+# never checked against the compiler and is falsified. "auto" therefore
+# keeps remat OFF up to the measured per-device image count and re-enables
+# it beyond (where it is untested but memory-bound), halving the anchor for
+# fp32 activations (2x the bytes of the measured bf16 plan).
+_REMAT_FREE_IMAGES = {"resnet": 80, "hrnet": 80}
+
+
+def resolve_remat(cfg: Config, n_devices: int = 1, accum_steps: int = 1) -> bool:
+    """Production remat policy for the train step (TrainConfig.remat)."""
+    setting = str(cfg.train.remat).lower()
+    if setting in ("on", "true"):
+        return True
+    if setting in ("off", "false"):
+        return False
+    if setting != "auto":
+        raise ValueError(f"train.remat must be auto/on/off, got {cfg.train.remat!r}")
+    per_dev = -(-cfg.data.batch_size // max(1, n_devices))
+    microbatch = -(-per_dev // max(1, accum_steps))
+    images = microbatch * cfg.data.num_views
+    limit = _REMAT_FREE_IMAGES.get(cfg.model.backbone, 0)
+    if cfg.train.compute_dtype == "float32":
+        limit //= 2
+    return images > limit
+
+
 def make_train_step(model, cfg: Config, tx, mesh: Mesh, accum_steps: int = 1) -> Callable:
     """Returns step(state, batch, rng) -> (state, metrics).
 

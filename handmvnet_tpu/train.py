@@ -40,6 +40,7 @@ from handmvnet_tpu.parallel import (
     make_mesh,
     make_optimizer,
     make_train_step,
+    resolve_remat,
 )
 from handmvnet_tpu.parallel.mesh import data_sharding, global_batch
 
@@ -270,8 +271,10 @@ def main(argv=None) -> None:
     model = HandMvNet(
         cfg=cfg.model, image_size=cfg.data.image_size,
         heatmap_size=cfg.data.heatmap_size,
-        remat=True,  # backward memory: the reference's bs-16 x 5-view step
-                     # exceeds one chip's HBM without rematerialization
+        # measured policy (TRAIN_REMAT_PROBE.json): the release recipes fit
+        # one v5e remat-FREE and run ~24% faster that way; remat re-engages
+        # beyond the measured per-device image count (parallel.resolve_remat)
+        remat=resolve_remat(cfg, n_devices=n_dev, accum_steps=accum),
     )
 
     train_loader, val_loader, test_loader = build_dataloaders(cfg, mesh)

@@ -91,6 +91,7 @@ def train_throughput(
         make_mesh,
         make_optimizer,
         make_train_step,
+        resolve_remat,
     )
     from handmvnet_tpu.parallel.mesh import data_sharding
 
@@ -101,7 +102,10 @@ def train_throughput(
         ),
     )
     batch_size = 16
-    model = HandMvNet(cfg=cfg.model, remat=True)
+    # the production remat policy (train.py uses the same resolution), so
+    # the train row measures what `python -m handmvnet_tpu.train` ships
+    remat = resolve_remat(cfg, n_devices=1, accum_steps=1)
+    model = HandMvNet(cfg=cfg.model, remat=remat)
     mesh = make_mesh()
     batch = synthetic_batch(batch_size=batch_size, num_views=5, seed=0)
     tx = make_optimizer(cfg, steps_per_epoch=100)
@@ -124,6 +128,7 @@ def train_throughput(
         "batch": batch_size,
         "views": 5,
         "dtype": "bfloat16",
+        "remat": remat,
     }
     from bench import compiled_flops
 

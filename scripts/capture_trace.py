@@ -104,6 +104,7 @@ def _build_train(steps: int, cfg_path: str = CFG, batch_size: int = 16,
         make_mesh,
         make_optimizer,
         make_train_step,
+        resolve_remat,
     )
     from handmvnet_tpu.parallel.mesh import data_sharding
 
@@ -113,7 +114,8 @@ def _build_train(steps: int, cfg_path: str = CFG, batch_size: int = 16,
             cfg.train, compute_dtype="bfloat16", accumulate_batch=1
         ),
     )
-    model = HandMvNet(cfg=cfg.model, remat=True)
+    model = HandMvNet(cfg=cfg.model,
+                      remat=resolve_remat(cfg, n_devices=1, accum_steps=1))
     mesh = make_mesh()
     batch = synthetic_batch(batch_size=batch_size, num_views=views, seed=0)
     tx = make_optimizer(cfg, steps_per_epoch=100)

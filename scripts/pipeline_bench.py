@@ -42,6 +42,7 @@ def main() -> None:
         make_mesh,
         make_optimizer,
         make_train_step,
+        resolve_remat,
     )
     from handmvnet_tpu.parallel.mesh import data_sharding, global_batch
     from handmvnet_tpu.train import make_device_prepare
@@ -68,7 +69,8 @@ def main() -> None:
         train=dataclasses.replace(
             cfg.train, compute_dtype=args.dtype, accumulate_batch=1),
     )
-    model = HandMvNet(cfg=cfg.model, remat=True)
+    model = HandMvNet(cfg=cfg.model,
+                      remat=resolve_remat(cfg, n_devices=1, accum_steps=1))
     mesh = make_mesh()
     sharding = data_sharding(mesh)
     tx = make_optimizer(cfg, steps_per_epoch=100)

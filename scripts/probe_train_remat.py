@@ -25,6 +25,10 @@ Variants:
                           batch size (accumulate_grad_batches=2 when bs<64,
                           reference train.py:27-28): microbatch 8 halves
                           live activations, possibly fitting remat-free
+  * hrnet_remat_on/off  — the HRNet-w40 recipe (HO3D_HandMvNet_HR.yaml):
+                          the high-res branch activations are why remat was
+                          assumed necessary; measured per-backbone so the
+                          production default can differ per family
 
 Writes TRAIN_REMAT_PROBE.json. Run (real TPU):
   python scripts/probe_train_remat.py [--steps 10] [--iters 3]
@@ -43,11 +47,13 @@ REPO = Path(__file__).resolve().parents[1]
 sys.path.insert(0, str(REPO))
 
 CFG = "configs/release/HO3D_HandMvNet.yaml"
+CFG_HRNET = "configs/release/HO3D_HandMvNet_HR.yaml"
 # leave headroom below the v5e's 16 GB for XLA's own reservations/fragments
 HBM_BUDGET_BYTES = 13.5e9
 
 
-def build_step(remat: bool, accum: int, batch_size: int = 16, views: int = 5):
+def build_step(remat: bool, accum: int, batch_size: int = 16, views: int = 5,
+               cfg_path: str = CFG):
     import jax
 
     from handmvnet_tpu.config import Config
@@ -61,7 +67,7 @@ def build_step(remat: bool, accum: int, batch_size: int = 16, views: int = 5):
     )
     from handmvnet_tpu.parallel.mesh import data_sharding
 
-    cfg = Config.from_yaml(REPO / CFG)
+    cfg = Config.from_yaml(REPO / cfg_path)
     cfg = cfg.replace(
         train=dataclasses.replace(
             cfg.train, compute_dtype="bfloat16", accumulate_batch=accum
@@ -79,14 +85,15 @@ def build_step(remat: bool, accum: int, batch_size: int = 16, views: int = 5):
 
 
 def probe_variant(name: str, remat: bool, accum: int, steps: int,
-                  iters: int) -> dict:
+                  iters: int, cfg_path: str = CFG) -> dict:
     import jax
 
     from bench import compiled_flops
 
     t0 = time.time()
-    out: dict = {"variant": name, "remat": remat, "accum": accum}
-    step, state, dbatch = build_step(remat, accum)
+    out: dict = {"variant": name, "remat": remat, "accum": accum,
+                 "config": cfg_path, "scan_steps": steps}
+    step, state, dbatch = build_step(remat, accum, cfg_path=cfg_path)
     rng = jax.random.PRNGKey(1)
 
     # ---- compile the single step AOT and read the compiler's memory plan
@@ -111,6 +118,15 @@ def probe_variant(name: str, remat: bool, accum: int, steps: int,
     flops = compiled_flops(compiled)
     if flops:
         out["gflops_per_step"] = round(flops / 1e9, 1)
+        if accum > 1:
+            # XLA's cost analysis counts a lax.scan body ONCE, so with
+            # accum microbatches the per-step FLOPs (and the MFU derived
+            # from them) are undercounted ~1/accum — device_step_ms is the
+            # trustworthy cross-variant figure
+            out["flops_note"] = (
+                "cost analysis counts the accumulation scan body once; "
+                "gflops/MFU are ~1/accum of the executed work"
+            )
 
     if mem and (mem["temp_bytes"] + mem["argument_bytes"]) > HBM_BUDGET_BYTES:
         out["skipped"] = (
@@ -176,10 +192,15 @@ def run_variant_subprocess(spec: str, steps: int, iters: int,
 
 
 VARIANTS = {
-    # name: (remat, accum)
-    "remat_on": (True, 1),
-    "remat_off": (False, 1),
-    "remat_off_accum2": (False, 2),
+    # name: (remat, accum, config)
+    "remat_on": (True, 1, CFG),
+    "remat_off": (False, 1, CFG),
+    "remat_off_accum2": (False, 2, CFG),
+    # HRNet-w40 at the same recipe: its high-res branch activations are the
+    # reason remat existed; the AOT memory check rejects over-budget
+    # variants before they execute
+    "hrnet_remat_on": (True, 1, CFG_HRNET),
+    "hrnet_remat_off": (False, 1, CFG_HRNET),
 }
 
 
@@ -202,16 +223,20 @@ def main() -> None:
         jax.config.update("jax_compilation_cache_dir",
                           "/tmp/jax_cache_handmvnet")
         jax.config.update("jax_persistent_cache_min_compile_time_secs", 2.0)
-        remat, accum = VARIANTS[args.one]
+        remat, accum, cfg_path = VARIANTS[args.one]
         print(json.dumps(probe_variant(args.one, remat, accum, args.steps,
-                                       args.iters)))
+                                       args.iters, cfg_path)))
         return
 
     selected = [v for v in args.variants.split(",") if v]
     results = []
+    extra: dict = {}  # preserve hand-written keys (verdict) across re-runs
     if Path(args.out).exists():  # keep rows not being re-measured
-        prev = json.loads(Path(args.out).read_text()).get("results", [])
-        results = [r for r in prev if r.get("variant") not in selected]
+        prev = json.loads(Path(args.out).read_text())
+        extra = {k: v for k, v in prev.items()
+                 if k not in ("protocol", "results")}
+        results = [r for r in prev.get("results", [])
+                   if r.get("variant") not in selected]
     for name in (n for n in VARIANTS if n in selected):
         # baseline-first order: reproduce before experimenting
         r = run_variant_subprocess(name, args.steps, args.iters, args.timeout)
@@ -226,6 +251,7 @@ def main() -> None:
                 "against the compiler's own plan before executing"
             ),
             "results": results,
+            **extra,
         }, indent=2) + "\n")
     print(f"wrote {args.out}", file=sys.stderr)
 

@@ -35,6 +35,7 @@ def main() -> None:
         make_mesh,
         make_optimizer,
         make_train_step,
+        resolve_remat,
     )
     from handmvnet_tpu.parallel.mesh import data_sharding
 
@@ -43,7 +44,8 @@ def main() -> None:
         model=dataclasses.replace(cfg.model, selected_views=tuple(range(args.views))),
         train=dataclasses.replace(cfg.train, compute_dtype=args.dtype, accumulate_batch=1),
     )
-    model = HandMvNet(cfg=cfg.model, remat=True)
+    model = HandMvNet(cfg=cfg.model,
+                      remat=resolve_remat(cfg, n_devices=1, accum_steps=1))
     mesh = make_mesh()
     batch = synthetic_batch(batch_size=args.batch, num_views=args.views, seed=0)
 
