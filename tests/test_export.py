@@ -113,6 +113,97 @@ def test_multiplatform_artifact(tmp_path):
     assert np.asarray(out["vertices"]).shape == (1, 778, 3)
 
 
+def test_view_parallel_bundle(tmp_path):
+    """Sharded (1x2 view-parallel) bundle: export over a concrete mesh,
+    round-trip through disk, rebuild the mesh at load time from plain
+    jax.devices(), and replay HOST arrays — parity vs the single-device
+    serving step incl. the vertices stage."""
+    import jax
+
+    from handmvnet_tpu.data.synthetic import synthetic_batch
+    from handmvnet_tpu.export import (
+        export_view_parallel,
+        load_bundle,
+        make_serving_step,
+        save_bundle,
+    )
+    from handmvnet_tpu.models import HandMvNet
+    from handmvnet_tpu.models.joints_to_vertices import joints_to_vertices_fn
+    from handmvnet_tpu.models.mano import ManoLayer, synthetic_mano_model
+
+    cfg = _tiny_cfg(tmp_path)
+    model, variables = _random_setup(cfg)
+    mano_model = synthetic_mano_model()
+
+    exported, in_shapes, mesh_meta = export_view_parallel(
+        cfg, variables, data=1, view=2, batch_size=2, platforms=("cpu",),
+        mano_model=mano_model,
+    )
+    assert exported.nr_devices == 2
+    save_bundle(tmp_path / "vp_bundle", exported, variables, cfg, in_shapes,
+                extra_meta={"mesh": mesh_meta})
+
+    fn, meta = load_bundle(tmp_path / "vp_bundle")
+    assert meta["mesh"]["shape"] == [1, 2]
+
+    batch = synthetic_batch(batch_size=2, num_views=cfg.model.num_views,
+                            image_size=64, heatmap_size=8)
+    rgb = np.asarray(batch["rgb"])
+    bboxes = np.asarray(batch["bboxes"])
+    intr = np.asarray(batch["intrinsic"])
+
+    got = fn(rgb, bboxes, intr)  # plain host arrays in
+    step = make_serving_step(
+        model, joints_to_vertices_fn(ManoLayer(mano_model))
+    )
+    want = jax.jit(step)(variables, rgb, bboxes, intr)
+    for k in ("joints_cam", "vertices", "heatmap", "joints_crop_img"):
+        np.testing.assert_allclose(
+            np.asarray(got[k]), np.asarray(want[k]), atol=1e-5, rtol=1e-5,
+            err_msg=k,
+        )
+
+
+def test_sharded_bundle_device_count_guard(tmp_path):
+    """A sharded bundle refuses to load on a host with fewer devices than
+    the export-time mesh."""
+    import json
+
+    from handmvnet_tpu.export import META_NAME, load_bundle
+    from handmvnet_tpu.export import export_serving, save_bundle
+    from handmvnet_tpu.models.mano import synthetic_mano_model
+
+    cfg = _tiny_cfg(tmp_path)
+    _, variables = _random_setup(cfg)
+    exported, in_shapes = export_serving(
+        cfg, variables, batch_size=1, platforms=("cpu",),
+        mano_model=synthetic_mano_model(),
+    )
+    save_bundle(tmp_path / "b", exported, variables, cfg, in_shapes,
+                extra_meta={"mesh": {"shape": [1, 512],
+                                     "axis_names": ["data", "view"]}})
+    with pytest.raises(RuntimeError, match="512 devices"):
+        load_bundle(tmp_path / "b")
+
+
+@pytest.mark.slow
+def test_export_cli_view_mesh(tmp_path):
+    """CLI --view-mesh 1x2 end to end on the virtual device mesh."""
+    cfg = yaml.safe_load(open("configs/release/HO3D_HandMvNet.yaml"))
+    cfg["data"]["image_size"] = 64
+    cfg["data"]["heatmap_size"] = 8
+    cfg["model"]["selected_views"] = [0, 1]
+    p = tmp_path / "cfg.yaml"
+    p.write_text(yaml.safe_dump(cfg))
+
+    from handmvnet_tpu.export import ARTIFACT_NAME, main
+
+    out = tmp_path / "vp"
+    main(["--config", str(p), "--out", str(out), "--platforms", "cpu",
+          "--view-mesh", "1x2", "--verify"])
+    assert (out / ARTIFACT_NAME).exists()
+
+
 @pytest.mark.slow
 def test_export_cli(tmp_path):
     """`python -m handmvnet_tpu.export` end to end, incl. --verify replay."""
