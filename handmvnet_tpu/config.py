@@ -90,6 +90,11 @@ class ModelConfig:
     # math, 4x MXU lane fill — resnet.SpaceToDepthStem). Default on; flip
     # off to run the textbook stride-2 conv.
     resnet_stem_s2d: bool = True
+    # serving-time int8 PTQ of the ResNet block convs (ops/quant.py:
+    # per-channel weight + dynamic per-tensor activation scales, int32
+    # accumulation). NOT exact math — opt-in, eval-only; speed/accuracy
+    # disposition measured on chip in INT8_PROBE.json.
+    backbone_int8: bool = False
 
     @property
     def num_views(self) -> int:

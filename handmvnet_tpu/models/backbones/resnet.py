@@ -22,6 +22,7 @@ from flax import linen as nn
 from jax import lax
 
 from handmvnet_tpu.models.layers import batch_norm, conv, max_pool_3x3_s2
+from handmvnet_tpu.ops.quant import conv_q8
 
 
 # How the 2x2 space-to-depth input is produced (all EXACT, same conv1
@@ -130,17 +131,19 @@ class BasicBlock(nn.Module):
     stride: int = 1
     has_downsample: bool = False
     frozen_bn: bool = False
+    int8: bool = False  # serving-time PTQ convs (ops/quant.py); eval only
 
     @nn.compact
     def __call__(self, x: jax.Array, train: bool = False) -> jax.Array:
         bn_eval = (not train) or self.frozen_bn
-        out = conv(self.planes, 3, self.stride, name="conv1")(x)
+        mk = conv_q8 if (self.int8 and not train) else conv
+        out = mk(self.planes, 3, self.stride, name="conv1")(x)
         out = batch_norm("bn1", x.dtype)(out, use_running_average=bn_eval)
         out = nn.relu(out)
-        out = conv(self.planes, 3, 1, name="conv2")(out)
+        out = mk(self.planes, 3, 1, name="conv2")(out)
         out = batch_norm("bn2", x.dtype)(out, use_running_average=bn_eval)
         if self.has_downsample:
-            residual = conv(self.planes, 1, self.stride, padding=0, name="downsample_0")(x)
+            residual = mk(self.planes, 1, self.stride, padding=0, name="downsample_0")(x)
             residual = batch_norm("downsample_1", x.dtype)(residual, use_running_average=bn_eval)
         else:
             residual = x
@@ -152,21 +155,23 @@ class Bottleneck(nn.Module):
     stride: int = 1
     has_downsample: bool = False
     frozen_bn: bool = False
+    int8: bool = False  # serving-time PTQ convs (ops/quant.py); eval only
     expansion: int = 4
 
     @nn.compact
     def __call__(self, x: jax.Array, train: bool = False) -> jax.Array:
         bn_eval = (not train) or self.frozen_bn
-        out = conv(self.planes, 1, 1, padding=0, name="conv1")(x)
+        mk = conv_q8 if (self.int8 and not train) else conv
+        out = mk(self.planes, 1, 1, padding=0, name="conv1")(x)
         out = batch_norm("bn1", x.dtype)(out, use_running_average=bn_eval)
         out = nn.relu(out)
-        out = conv(self.planes, 3, self.stride, name="conv2")(out)
+        out = mk(self.planes, 3, self.stride, name="conv2")(out)
         out = batch_norm("bn2", x.dtype)(out, use_running_average=bn_eval)
         out = nn.relu(out)
-        out = conv(self.planes * self.expansion, 1, 1, padding=0, name="conv3")(out)
+        out = mk(self.planes * self.expansion, 1, 1, padding=0, name="conv3")(out)
         out = batch_norm("bn3", x.dtype)(out, use_running_average=bn_eval)
         if self.has_downsample:
-            residual = conv(
+            residual = mk(
                 self.planes * self.expansion, 1, self.stride, padding=0, name="downsample_0"
             )(x)
             residual = batch_norm("downsample_1", x.dtype)(residual, use_running_average=bn_eval)
@@ -199,6 +204,12 @@ class ResNetBackbone(nn.Module):
     frozen_bn: bool = False
     remat: bool = False  # rematerialize blocks in backward (trades FLOPs for HBM)
     stem_s2d: bool = True  # exact space-to-depth rewrite of the 7x7/s2 stem
+    # serving-time int8 PTQ of the block convs (ops/quant.py; the stem stays
+    # bf16 — 3/12 input channels underfill even the int8 tile). Opt-in via
+    # model.backbone_int8; NOT exact math — see INT8_PROBE.json for the
+    # measured speed/accuracy disposition. Eval only: train always runs the
+    # plain convs.
+    int8_eval: bool = False
 
     @property
     def variant(self) -> str:
@@ -255,6 +266,7 @@ class ResNetBackbone(nn.Module):
                     stride=s,
                     has_downsample=needs_ds,
                     frozen_bn=self.frozen_bn,
+                    int8=self.int8_eval,
                     name=f"layer{stage + 1}_{bidx}",
                 )(h, train)  # train positional: remat static_argnums counts (self, x, train)
                 inplanes = planes * expansion

@@ -67,6 +67,7 @@ class HandMvNet(nn.Module):
                 frozen_bn=cfg.freeze_bn,
                 remat=self.remat,
                 stem_s2d=cfg.resnet_stem_s2d,
+                int8_eval=cfg.backbone_int8,
                 name="backbone",
             )(x, train=train)
             if isinstance(out, dict):
