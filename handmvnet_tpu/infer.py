@@ -133,27 +133,27 @@ def main(argv=None) -> None:
 
         # Known XLA-TPU fault shape (hrnet, v5, b8): two dispatches of 4
         # instead of crashing the worker (HRNET_V5B8_BISECT.json)
-        from handmvnet_tpu.shape_guard import forward_batch_split, warn_split
+        from handmvnet_tpu.shape_guard import (
+            forward_batch_split,
+            split_batch_step,
+            warn_split,
+        )
 
         split = forward_batch_split(
             cfg.model.backbone, cfg.model.num_views, rgb.shape[0],
             jax.devices()[0].platform,
         )
+        jstep = jax.jit(step)
+
+        def dict_step(state, b):
+            return jstep(state, b["rgb"], b["bboxes"], b["intr"])
+
         if split > 1:
             warn_split("infer", cfg.model.backbone, cfg.model.num_views,
                        rgb.shape[0], split)
-            c = rgb.shape[0] // split
-            jstep = jax.jit(step)
-            outs = [
-                jstep(variables, rgb[i * c:(i + 1) * c],
-                      bboxes[i * c:(i + 1) * c], intr[i * c:(i + 1) * c])
-                for i in range(split)
-            ]
-            out = jax.tree.map(
-                lambda *xs: jnp.concatenate(xs, axis=0), *outs
-            )
-        else:
-            out = jax.jit(step)(variables, rgb, bboxes, intr)
+            dict_step = split_batch_step(dict_step, split)
+        out = dict_step(variables, {"rgb": rgb, "bboxes": bboxes,
+                                    "intr": intr})
     out_np = {k: np.asarray(v) for k, v in out.items()}
     print("joints_cam[0,0]:", out_np["joints_cam"][0, 0], "(m, root-relative)")
 

@@ -152,8 +152,22 @@ def _forward_loss(model, cfg: Config, params, batch_stats, batch, rng):
 _REMAT_FREE_IMAGES = {"resnet": 80, "hrnet": 80}
 
 
-def resolve_remat(cfg: Config, n_devices: int = 1, accum_steps: int = 1) -> bool:
-    """Production remat policy for the train step (TrainConfig.remat)."""
+def resolve_remat(
+    cfg: Config,
+    n_devices: int = 1,
+    accum_steps: int = 1,
+    *,
+    batch_size: int | None = None,
+    num_views: int | None = None,
+) -> bool:
+    """Production remat policy for the train step (TrainConfig.remat).
+
+    The memory anchor is images-per-microbatch; by default that comes from
+    the data config (what `train.py` feeds the step). Callers that build
+    batches with shapes the config doesn't describe (bench/trace scripts
+    using synthetic batches) must pass the actual batch_size/num_views, or
+    the policy resolves against the YAML's shapes instead of the step's.
+    """
     setting = str(cfg.train.remat).lower()
     if setting in ("on", "true"):
         return True
@@ -161,9 +175,13 @@ def resolve_remat(cfg: Config, n_devices: int = 1, accum_steps: int = 1) -> bool
         return False
     if setting != "auto":
         raise ValueError(f"train.remat must be auto/on/off, got {cfg.train.remat!r}")
-    per_dev = -(-cfg.data.batch_size // max(1, n_devices))
+    if batch_size is None:
+        batch_size = cfg.data.batch_size
+    if num_views is None:
+        num_views = cfg.data.num_views
+    per_dev = -(-batch_size // max(1, n_devices))
     microbatch = -(-per_dev // max(1, accum_steps))
-    images = microbatch * cfg.data.num_views
+    images = microbatch * num_views
     limit = _REMAT_FREE_IMAGES.get(cfg.model.backbone, 0)
     if cfg.train.compute_dtype == "float32":
         limit //= 2

@@ -58,6 +58,24 @@ DTYPES = ("bfloat16", "float32")
 VIEWS = (4, 5, 8)
 BATCHES = (1, 8)
 
+# why every train_hrnet row (isolate or not) measures only the scan phase
+_HRNET_PERCALL_SKIPPED = (
+    "bare per-dispatch HRNet train step crashes the TPU worker "
+    "(HRNET_V5B8_BISECT.json fault family; crashes recorded in "
+    "TRAIN_REMAT_PROBE.json hrnet_remat_on and a round-5 remat-free "
+    "repro) — scan dispatch is the measured-clean path"
+)
+
+
+def row_model_overrides(backbone: str, views: int) -> dict:
+    """Model-config overrides for one matrix row (child --row mode and the
+    non-isolate in-process path must build the identical model)."""
+    overrides: dict = {"selected_views": tuple(range(views))}
+    if backbone == "hrnet_w64":
+        overrides["backbone_type"] = "w64"
+        overrides["backbone_channels"] = (64, 128, 256, 512)
+    return overrides
+
 
 def bench_args(batch: int, views: int, iters: int, chunk: int):
     return argparse.Namespace(
@@ -111,8 +129,10 @@ def train_throughput(
     )
     batch_size = 16
     # the production remat policy (train.py uses the same resolution), so
-    # the train row measures what `python -m handmvnet_tpu.train` ships
-    remat = resolve_remat(cfg, n_devices=1, accum_steps=1)
+    # the train row measures what `python -m handmvnet_tpu.train` ships —
+    # resolved at the synthetic batch's actual shapes
+    remat = resolve_remat(cfg, n_devices=1, accum_steps=1,
+                          batch_size=batch_size, num_views=5)
     model = HandMvNet(cfg=cfg.model, remat=remat)
     mesh = make_mesh()
     batch = synthetic_batch(batch_size=batch_size, num_views=5, seed=0)
@@ -214,10 +234,7 @@ def run_row(spec: str, iters: int) -> None:
     backbone, v, b, dt = spec.split(":")
     v, b = int(v), int(b)
     cfg = Config.from_yaml(REPO / BACKBONES[backbone])
-    overrides: dict = {"selected_views": tuple(range(v))}
-    if backbone == "hrnet_w64":
-        overrides["backbone_type"] = "w64"
-        overrides["backbone_channels"] = (64, 128, 256, 512)
+    overrides = row_model_overrides(backbone, v)
     bcfg = cfg.replace(
         model=dataclasses.replace(cfg.model, **overrides)
     )
@@ -442,13 +459,7 @@ def main() -> None:
                     for p, e in errors.items():
                         merged[f"{p}_error"] = e
                     if "percall" not in phases:
-                        merged["percall_skipped"] = (
-                            "bare per-dispatch HRNet train step crashes the "
-                            "TPU worker (HRNET_V5B8_BISECT.json fault family; "
-                            "crashes recorded in TRAIN_REMAT_PROBE.json "
-                            "hrnet_remat_on and a round-5 remat-free repro) — "
-                            "scan dispatch is the measured-clean path"
-                        )
+                        merged["percall_skipped"] = _HRNET_PERCALL_SKIPPED
                 train_results[row_name] = merged
             else:
                 cfg_path = (
@@ -456,9 +467,17 @@ def main() -> None:
                     if row_name == "train_hrnet"
                     else "configs/release/HO3D_HandMvNet.yaml"
                 )
+                # train_hrnet must skip the per-call phase here too: the
+                # bare per-dispatch HRNet train step is the same recorded
+                # worker-killer as in the --isolate branch above
                 train_results[row_name] = train_throughput(
-                    10 if args.quick else 30, cfg_path
+                    10 if args.quick else 30, cfg_path,
+                    phase="scan" if row_name == "train_hrnet" else "both",
                 )
+                if row_name == "train_hrnet":
+                    train_results[row_name]["percall_skipped"] = (
+                        _HRNET_PERCALL_SKIPPED
+                    )
         except Exception as e:  # noqa: BLE001
             train_results[row_name] = {"error": f"{type(e).__name__}: {e}"[:300]}
         print(row_name, json.dumps(train_results[row_name]), file=sys.stderr)
@@ -578,10 +597,7 @@ def main() -> None:
                             )
                     else:
                         try:
-                            overrides: dict = {"selected_views": tuple(range(v))}
-                            if backbone == "hrnet_w64":
-                                overrides["backbone_type"] = "w64"
-                                overrides["backbone_channels"] = (64, 128, 256, 512)
+                            overrides = row_model_overrides(backbone, v)
                             cfg = Config.from_yaml(REPO / BACKBONES[backbone])
                             bcfg = cfg.replace(
                                 model=dataclasses.replace(cfg.model, **overrides)

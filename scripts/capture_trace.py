@@ -115,7 +115,9 @@ def _build_train(steps: int, cfg_path: str = CFG, batch_size: int = 16,
         ),
     )
     model = HandMvNet(cfg=cfg.model,
-                      remat=resolve_remat(cfg, n_devices=1, accum_steps=1))
+                      remat=resolve_remat(cfg, n_devices=1, accum_steps=1,
+                                          batch_size=batch_size,
+                                          num_views=views))
     mesh = make_mesh()
     batch = synthetic_batch(batch_size=batch_size, num_views=views, seed=0)
     tx = make_optimizer(cfg, steps_per_epoch=100)

@@ -70,7 +70,9 @@ def main() -> None:
             cfg.train, compute_dtype=args.dtype, accumulate_batch=1),
     )
     model = HandMvNet(cfg=cfg.model,
-                      remat=resolve_remat(cfg, n_devices=1, accum_steps=1))
+                      remat=resolve_remat(cfg, n_devices=1, accum_steps=1,
+                                          batch_size=args.batch,
+                                          num_views=args.views))
     mesh = make_mesh()
     sharding = data_sharding(mesh)
     tx = make_optimizer(cfg, steps_per_epoch=100)

@@ -45,7 +45,9 @@ def main() -> None:
         train=dataclasses.replace(cfg.train, compute_dtype=args.dtype, accumulate_batch=1),
     )
     model = HandMvNet(cfg=cfg.model,
-                      remat=resolve_remat(cfg, n_devices=1, accum_steps=1))
+                      remat=resolve_remat(cfg, n_devices=1, accum_steps=1,
+                                          batch_size=args.batch,
+                                          num_views=args.views))
     mesh = make_mesh()
     batch = synthetic_batch(batch_size=args.batch, num_views=args.views, seed=0)
 

@@ -61,3 +61,17 @@ def test_forced_on_off_and_validation():
 def test_unknown_backbone_defaults_to_remat():
     # no measured anchor => conservative: remat on
     assert resolve_remat(_cfg(backbone="hourglass")) is True
+
+
+def test_explicit_shapes_override_the_config():
+    # bench/trace scripts build synthetic batches whose shapes the YAML
+    # doesn't describe; the kwargs must win over cfg.data (the bug was
+    # resolve_remat silently reading the YAML's bs16 x v5 while the script
+    # measured a different shape)
+    cfg = _cfg(batch=16, views=5)  # config says: remat off
+    assert resolve_remat(cfg, batch_size=32, num_views=8) is True
+    cfg_big = _cfg(batch=64, views=8)  # config says: remat on
+    assert resolve_remat(cfg_big, batch_size=8, num_views=5) is False
+    # partial override composes with the other cfg field
+    assert resolve_remat(cfg, batch_size=32) is True  # 32 x cfg's 5 views
+    assert resolve_remat(cfg, num_views=8) is True    # cfg's 16 x 8 views
